@@ -1,0 +1,310 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.{Bm25Weight, FieldNorm, PostingListData, Tokenizers}
+
+/** Distributed inverted-index build.
+  *
+  * Shape (re-derivation of the reference's indexer architecture,
+  * entrypoint/indexer/mod.rs:43-89 + inverted_index/indexing.rs:32-47,
+  * re-expressed Spark-first):
+  *
+  *   read -> tag (segment, sortKey, sha256-ready) [narrow]
+  *        -> repartition by segment + sortWithinPartitions   [1 shuffle]
+  *        -> mapPartitions: per segment, assign dense docIds in
+  *           precomputed-score order, tokenize once, accumulate in-RAM
+  *           postings (the Spark analog of the reference's writer arena),
+  *           serialize blocks, emit doc/fnorm/posting/stat rows
+  *        -> write parquet partitioned by row kind            [no shuffle]
+  *
+  * Scale notes:
+  *  - exactly ONE full-data shuffle (the segment repartition). The
+  *    reference avoids it by making "segment" == input file; we pay it to
+  *    make the index byte-identical at any parallelism (needed for
+  *    rank-identity + the N-vs-4N scaling protocol) and to balance
+  *    segments. Everything after the shuffle is narrow.
+  *  - a segment's postings must fit in task memory, like the reference's
+  *    1 GB writer arena (indexing.rs:38-39). Segment count is chosen so
+  *    corpus/numSegments stays in budget; at 10^12 files you raise
+  *    numSegments, not executor memory.
+  *  - hot terms are sharded at maxPostingsPerShard entries per posting
+  *    row, bounding both row size and query-task memory per term.
+  *  - checkpoint/resume at segment granularity: segments are built in
+  *    batches; a manifest JSON per segment commits after its batch's
+  *    write; a restarted job skips manifested segments (north rule:
+  *    "restarts at segment granularity").
+  */
+object IndexBuilder {
+
+  final case class Config(
+      numSegments: Int = 8,
+      maxPostingsPerShard: Int = 1 << 20,
+      fnormChunkSize: Int = 1 << 23,
+      segmentsPerBatch: Int = 1 << 16)
+
+  final case class BuildReport(numDocs: Long, numTokens: Long,
+                               segmentsBuilt: Int, segmentsSkipped: Int,
+                               elapsedMs: Long)
+
+  /** Internal union row so one pass writes every artifact kind. */
+  final case class BuildRow(kind: String, segment: Int,
+                            doc: Option[DocRow], posting: Option[PostingRow],
+                            fnorm: Option[FnormRow], stat: Option[SegStatRow])
+
+  private final case class Tagged(segment: Int, sortKey: Long, repo: String,
+                                  path: String, commit: String, lang: String,
+                                  content: String)
+
+  /** FNV-1a 64-bit — stable across Spark/JVM versions, unlike
+    * Murmur3-based Spark `hash()` which is only stable per version. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i) & 0xffffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Deterministic pseudo-centrality standing in for the reference's
+    * query-independent precomputed score (ranking/computer/mod.rs:499-509;
+    * the docid-order invariant of inverted_index/mod.rs:195-204). */
+  def sortKeyOf(repo: String, path: String, commit: String): Long =
+    fnv1a64(s"score:$repo/$path@$commit")
+
+  def segmentOf(repo: String, path: String, numSegments: Int): Int = {
+    val h = fnv1a64(repo + "|" + path)
+    val m = (h % numSegments).toInt
+    if (m < 0) m + numSegments else m
+  }
+
+  def sha256Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < d.length) { sb.append(f"${d(i)}%02x"); i += 1 }
+    sb.toString
+  }
+
+  // growable int buffer (avoids boxing in the hot accumulation path)
+  private final class IntBuf(initial: Int = 8) {
+    var arr = new Array[Int](initial)
+    var n = 0
+    def add(v: Int): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = v; n += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(arr, n)
+  }
+
+  private final class PostBuf {
+    val docs = new IntBuf(4)
+    val tfs = new IntBuf(4)
+  }
+
+  def manifestDir(outDir: String) = s"$outDir/manifest"
+  def dataDir(outDir: String) = s"$outDir/data"
+
+  def completedSegments(outDir: String): Set[Int] = {
+    val dir = new java.io.File(manifestDir(outDir))
+    if (!dir.isDirectory) return Set.empty
+    dir.listFiles().iterator
+      .map(_.getName)
+      .collect { case n if n.startsWith("seg-") && n.endsWith(".json") =>
+        n.stripPrefix("seg-").stripSuffix(".json").toInt }
+      .toSet
+  }
+
+  def build(spark: SparkSession, input: Dataset[SourceDoc], outDir: String,
+            cfg: Config = Config()): BuildReport = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    new java.io.File(manifestDir(outDir)).mkdirs()
+
+    val done = completedSegments(outDir)
+    val allSegments = (0 until cfg.numSegments).filterNot(done)
+    val S = cfg.numSegments
+    val maxShard = cfg.maxPostingsPerShard
+    val fnChunk = cfg.fnormChunkSize
+
+    val tagged = input.map { d =>
+      Tagged(segmentOf(d.repo, d.path, S), sortKeyOf(d.repo, d.path, d.commit),
+        d.repo, d.path, d.commit, d.lang, d.content)
+    }
+
+    var built = 0
+    allSegments.grouped(cfg.segmentsPerBatch).foreach { batch =>
+      val batchSet = batch.toSet
+      val slice =
+        if (done.isEmpty && batch.size == S) tagged
+        else tagged.filter(t => batchSet.contains(t.segment))
+      val parts = math.max(spark.sparkContext.defaultParallelism,
+        math.min(batch.size, spark.sparkContext.defaultParallelism * 2))
+      val rows = slice
+        .repartition(parts, col("segment"))
+        .sortWithinPartitions(col("segment"), col("sortKey").desc,
+          col("repo"), col("path"), col("commit"))
+        .mapPartitions { it =>
+          new SegmentEmitter(it, maxShard, fnChunk)
+        }
+      rows.write.mode(SaveMode.Append).partitionBy("kind")
+        .parquet(dataDir(outDir))
+
+      // commit manifests for this batch (checkpoint + lineage)
+      val stats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
+        .select("segment", "stat.*").as[SegStatRow]
+        .filter(s => batchSet.contains(s.segment)).collect()
+      stats.foreach(writeManifest(outDir, _))
+      // segments with zero input rows still need a manifest to be "done"
+      val seen = stats.map(_.segment).toSet
+      batch.filterNot(seen).foreach { seg =>
+        writeManifest(outDir, SegStatRow(seg, 0, 0, 0, 0, "0" * 64, 0))
+      }
+      built += batch.size
+    }
+
+    val allStats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
+      .select("segment", "stat.*").as[SegStatRow].collect()
+    BuildReport(allStats.map(_.numDocs).sum, allStats.map(_.numTokens).sum,
+      built, done.size, (System.nanoTime() - t0) / 1000000)
+  }
+
+  private def writeManifest(outDir: String, s: SegStatRow): Unit = {
+    val json =
+      s"""{"segment":${s.segment},"numDocs":${s.numDocs},"numTokens":${s.numTokens},
+         |"numTerms":${s.numTerms},"numPostings":${s.numPostings},
+         |"sha256Agg":"${s.sha256Agg}","buildMs":${s.buildMs}}""".stripMargin
+    val p = java.nio.file.Paths.get(manifestDir(outDir), f"seg-${s.segment}%05d.json")
+    java.nio.file.Files.writeString(p, json)
+  }
+
+  /** Streams a sorted partition, building one segment at a time fully
+    * in RAM and flushing it as doc/fnorm/posting/stat rows. */
+  private final class SegmentEmitter(it: Iterator[Tagged], maxShard: Int,
+                                     fnChunk: Int)
+      extends Iterator[BuildRow] {
+    private var pending: Iterator[BuildRow] = Iterator.empty
+    private var curSeg = -1
+    private var t0 = 0L
+    private var docs = new scala.collection.mutable.ArrayBuffer[DocRow]
+    private var fnorms = new java.io.ByteArrayOutputStream()
+    private var postings = new java.util.HashMap[String, PostBuf]()
+    private var numTokens = 0L
+    private var shaAgg = new Array[Byte](32)
+
+    def hasNext: Boolean = pending.hasNext || it.hasNext
+
+    def next(): BuildRow = {
+      while (!pending.hasNext) {
+        if (!it.hasNext) {
+          if (curSeg >= 0) { pending = flush(); curSeg = -1 }
+          else throw new NoSuchElementException
+        } else {
+          val t = it.next()
+          if (t.segment != curSeg) {
+            val f = if (curSeg >= 0) flush() else Iterator.empty
+            reset(t.segment)
+            addDoc(t)
+            if (f.hasNext) pending = f
+          } else addDoc(t)
+        }
+      }
+      pending.next()
+    }
+
+    private def reset(seg: Int): Unit = {
+      curSeg = seg
+      t0 = System.nanoTime()
+      docs = new scala.collection.mutable.ArrayBuffer[DocRow]
+      fnorms = new java.io.ByteArrayOutputStream()
+      postings = new java.util.HashMap[String, PostBuf]()
+      numTokens = 0L
+      shaAgg = new Array[Byte](32)
+    }
+
+    private def addDoc(t: Tagged): Unit = {
+      val docId = docs.length
+      val tf = Tokenizers.termFreqs(t.content)
+      var nTok = 0
+      val eit = tf.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        nTok += e.getValue
+        var pb = postings.get(e.getKey)
+        if (pb == null) { pb = new PostBuf; postings.put(e.getKey, pb) }
+        pb.docs.add(docId)
+        pb.tfs.add(e.getValue)
+      }
+      val fnId = FieldNorm.fieldNormToId(nTok.toLong)
+      fnorms.write(fnId & 0xff)
+      numTokens += nTok
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(t.content.getBytes("UTF-8"))
+      var i = 0
+      while (i < 32) { shaAgg(i) = (shaAgg(i) ^ sha(i)).toByte; i += 1 }
+      val shaHex = sha.map(b => f"$b%02x").mkString
+      docs += DocRow(curSeg, docId, t.repo, t.path, t.commit, t.lang, shaHex,
+        nTok, fnId, t.sortKey)
+    }
+
+    private def flush(): Iterator[BuildRow] = {
+      // capture everything locally: the emitted iterator is consumed
+      // lazily after reset() repoints the mutable fields
+      val seg = curSeg
+      val segDocs = docs
+      val segPostings = postings
+      val segTokens = numTokens
+      val segShaHex = shaAgg.map(b => f"$b%02x").mkString
+      val nDocs = segDocs.length
+      val fnArr = fnorms.toByteArray
+      val avgFn = if (nDocs == 0) 1.0f else segTokens.toFloat / nDocs.toFloat
+      val terms = segPostings.keySet().toArray(new Array[String](segPostings.size))
+      java.util.Arrays.sort(terms, java.util.Comparator.naturalOrder[String]())
+      var totalPostings = 0L
+      locally { var i = 0
+        while (i < terms.length) { totalPostings += segPostings.get(terms(i)).docs.n; i += 1 } }
+      val buildMs = (System.nanoTime() - t0) / 1000000
+
+      val docRows = segDocs.iterator.map(d =>
+        BuildRow("doc", seg, Some(d), None, None, None))
+      val fnRows = (0 until nDocs by fnChunk).iterator.map { off =>
+        val end = math.min(off + fnChunk, nDocs)
+        BuildRow("fnorm", seg, None, None,
+          Some(FnormRow(seg, off / fnChunk, end - off,
+            java.util.Arrays.copyOfRange(fnArr, off, end))), None)
+      }
+      val postRows = terms.iterator.flatMap { term =>
+        val pb = segPostings.get(term)
+        val df = pb.docs.n
+        val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, avgFn)
+        val dArr = pb.docs.toArray
+        val tArr = pb.tfs.toArray
+        if (df <= maxShard) {
+          val pl = PostingListData.build(term, dArr, tArr, w, fnArr)
+          Iterator.single(BuildRow("posting", seg, None,
+            Some(PostingRow.from(seg, 0, 0, pl)), None, None))
+        } else {
+          // hot-term sharding: bound row size and per-task query memory
+          (0 until df by maxShard).iterator.zipWithIndex.map { case (off, sh) =>
+            val end = math.min(off + maxShard, df)
+            val pl = PostingListData.build(term,
+              java.util.Arrays.copyOfRange(dArr, off, end),
+              java.util.Arrays.copyOfRange(tArr, off, end), w, fnArr)
+            BuildRow("posting", seg, None,
+              Some(PostingRow.from(seg, sh, 0, pl)), None, None)
+          }
+        }
+      }
+      val statRow = Iterator.single(
+        BuildRow("stat", seg, None, None, None,
+          Some(SegStatRow(seg, nDocs.toLong, segTokens, terms.length.toLong,
+            totalPostings, segShaHex, buildMs))))
+      docRows ++ fnRows ++ postRows ++ statRow
+    }
+  }
+}

@@ -1,0 +1,187 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** Query-side view of an index directory.
+  *
+  * A query is served as: broadcast query-term stats -> parquet scan of
+  * the posting rows for the query terms only (term filter pushed to
+  * parquet row groups) -> cogroup with the segment fieldnorm blobs ->
+  * per-segment block-max WAND top-k inside mapGroups -> tiny driver-side
+  * merge ordered by (score desc, segment asc, docId asc), matching the
+  * reference's DocAddress tie-break (top_collector.rs:59-65).
+  *
+  * Collection statistics (N, total tokens -> avg fieldnorm, per-term df)
+  * are Catalyst aggregates over the stat/posting tables, per the north
+  * rule. BM25 weights use collection-level stats while per-block max
+  * metadata was computed with segment-level stats — the same deliberate
+  * approximation as the reference (term_scorer.rs:63-70); bounds stay
+  * valid per-segment, results stay exact.
+  */
+final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable {
+  import spark.implicits._
+
+  private def data(kind: String): DataFrame =
+    spark.read.parquet(s"${IndexBuilder.dataDir(dir)}/kind=$kind")
+
+  def docs: Dataset[DocRow] = data("doc").select("doc.*").as[DocRow]
+  def postings: Dataset[PostingRow] = data("posting").select("posting.*").as[PostingRow]
+  def fnorms: Dataset[FnormRow] = data("fnorm").select("fnorm.*").as[FnormRow]
+  def segStats: Dataset[SegStatRow] = data("stat").select("stat.*").as[SegStatRow]
+
+  lazy val stats: CollectionStats = {
+    val r = segStats.agg(sum($"numDocs"), sum($"numTokens"), count(lit(1))).head()
+    CollectionStats(r.getLong(0), r.getLong(1), r.getLong(2).toInt)
+  }
+
+  /** Tokenize + dedup (the reference's clause deduplication,
+    * plan/node.rs:276-305) + 32-term cap (parser/mod.rs:17). */
+  def queryTerms(query: String): Array[String] =
+    Tokenizers.default(query).distinct.take(32)
+
+  /** Per-term collection document frequency (Catalyst aggregate). */
+  def dfOf(terms: Seq[String]): Map[String, Long] = {
+    if (terms.isEmpty) return Map.empty
+    postings.filter($"term".isin(terms: _*))
+      .groupBy($"term").agg(sum($"docFreq").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** One query, exact BM25 top-k. mode: "or" (WAND), "and" (leapfrog
+    * intersection), "exhaustive" (oracle union scan, no pruning). */
+  def search(query: String, k: Int, mode: String = "or",
+             minusTerms: Seq[String] = Nil): Array[Hit] = {
+    val hits = searchRaw(query, k, mode, minusTerms)
+    resolve(hits, k)
+  }
+
+  /** (segment, docId, score) before doc-table resolution. */
+  def searchRaw(query: String, k: Int, mode: String = "or",
+                minusTerms: Seq[String] = Nil): Array[(Int, Int, Float)] = {
+    val out = searchBatchRaw(Seq(("q", query, k, mode, minusTerms)))
+    out.getOrElse("q", Array.empty)
+  }
+
+  /** Batch query execution: one distributed pass for many queries —
+    * queries x segments fan-out, per-segment top-k, driver merge. */
+  def searchBatchRaw(queries: Seq[(String, String, Int, String, Seq[String])])
+      : Map[String, Array[(Int, Int, Float)]] = {
+    val plans = queries.map { case (qid, q, k, mode, minus) =>
+      (qid, queryTerms(q), k, mode, minus.flatMap(queryTerms).distinct)
+    }
+    val allTerms = plans.flatMap(p => p._2 ++ p._5).distinct
+    if (allTerms.isEmpty || stats.numDocs == 0) return plans.map(p => p._1 -> Array.empty[(Int, Int, Float)]).toMap
+    val dfs = dfOf(allTerms)
+    val N = stats.numDocs
+    val avgFn = stats.avgFieldNorm
+    val weights: Map[String, Float] = // idf*(1+k1) per term; cache built per task
+      dfs.map { case (t, df) => t -> (Bm25.idf(df, N) * (1.0f + Bm25.K1)) }
+    val bPlans = spark.sparkContext.broadcast(plans)
+    val bWeights = spark.sparkContext.broadcast(weights)
+
+    val post = postings.filter($"term".isin(allTerms: _*))
+    val postBySeg = post.groupByKey(_.segment)
+    val fnormBySeg = fnorms.groupByKey(_.segment)
+
+    val perSeg: Dataset[(String, Int, Int, Float)] =
+      postBySeg.cogroup(fnormBySeg) { (seg, ps, fs) =>
+        val plist = ps.toArray
+        if (plist.isEmpty) Iterator.empty
+        else {
+          val fnArr = assembleFnorms(fs)
+          val byTerm: Map[String, Array[PostingRow]] =
+            plist.groupBy(_.term).map { case (t, rows) =>
+              t -> rows.sortBy(_.shard)
+            }
+          def cursor(term: String): Option[TermCursor] =
+            byTerm.get(term).map { rows =>
+              val wt = new Bm25Weight(bWeights.value(term), avgFn)
+              if (rows.length == 1)
+                new PostingsCursor(rows(0).toData, fnArr, wt)
+              else
+                new ChainedCursor(rows.map(r => new PostingsCursor(r.toData, fnArr, wt)))
+            }
+          bPlans.value.iterator.flatMap { case (qid, terms, k, mode, minus) =>
+            val cs = terms.flatMap(t => cursor(t))
+            if (cs.isEmpty) Iterator.empty
+            else {
+              val negs = minus.flatMap(t => cursor(t)).toArray
+              @inline def excluded(doc: Int): Boolean = {
+                var i = 0
+                while (i < negs.length) {
+                  val n = negs(i)
+                  if (n.doc == doc || (n.doc < doc && n.seek(doc) == doc)) return true
+                  i += 1
+                }
+                false
+              }
+              val topk = new TopK(k)
+              mode match {
+                case "and" =>
+                  BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
+                case "exhaustive" =>
+                  BlockWand.exhaustiveUnion(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
+                case _ =>
+                  if (negs.isEmpty)
+                    BlockWand.run(cs, Float.MinValue, (d, s) => topk.push(d, s))
+                  else
+                    BlockWand.run(cs, Float.MinValue,
+                      (d, s) => if (excluded(d)) topk.threshold else topk.push(d, s))
+              }
+              topk.sorted.iterator.map(h => (qid, seg, h.doc, h.score))
+            }
+          }
+        }
+      }
+
+    val collected = perSeg.collect()
+    val byQid = collected.groupBy(_._1)
+    plans.map { case (qid, _, k, _, _) =>
+      val merged = byQid.getOrElse(qid, Array.empty)
+        .sortBy(t => (-t._4, t._2, t._3))(
+          Ordering.Tuple3(Ordering.Float.TotalOrdering, Ordering.Int, Ordering.Int))
+        .take(k)
+        .map(t => (t._2, t._3, t._4))
+      qid -> merged
+    }.toMap
+  }
+
+  private def assembleFnorms(fs: Iterator[FnormRow]): Array[Byte] = {
+    val chunks = fs.toArray.sortBy(_.chunk)
+    val total = chunks.map(_.numDocs).sum
+    val out = new Array[Byte](total)
+    var off = 0
+    chunks.foreach { c =>
+      System.arraycopy(c.fnorms, 0, out, off, c.numDocs)
+      off += c.numDocs
+    }
+    out
+  }
+
+  /** Resolve raw hits against the doc table (broadcast hash join on the
+    * tiny hit side). */
+  def resolve(hits: Array[(Int, Int, Float)], k: Int): Array[Hit] = {
+    if (hits.isEmpty) return Array.empty
+    val hitDS = spark.createDataset(hits.toSeq).toDF("segment", "docId", "score")
+    val segs = hits.map(_._1).distinct.toSeq
+    val joined = docs.filter($"segment".isin(segs: _*))
+      .join(broadcast(hitDS), Seq("segment", "docId"))
+      .select($"segment", $"docId", $"score", $"repo", $"path")
+      .collect()
+    val key = joined.map(r => (r.getInt(0), r.getInt(1)) ->
+      (r.getString(3), r.getString(4))).toMap
+    hits.zipWithIndex.map { case ((seg, d, sc), i) =>
+      val (repo, path) = key((seg, d))
+      Hit(i + 1, seg, d, sc, repo, path)
+    }
+  }
+
+  /** DataFrame face of `search` for the driver contract. */
+  def searchDF(query: String, k: Int, mode: String = "or"): DataFrame = {
+    val hits = search(query, k, mode)
+    spark.createDataFrame(hits.toSeq)
+  }
+}

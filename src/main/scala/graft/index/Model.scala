@@ -1,0 +1,56 @@
+package graft.index
+
+import graft.core.PostingListData
+
+/** Input row — exactly the north-rule input shape
+  * (BASELINE.json input_hint): an Iceberg-style table of source code. */
+final case class SourceDoc(repo: String, path: String, commit: String,
+                           lang: String, content: String)
+
+/** Row-store entry: one per document, per segment, doc ids dense from 0
+  * in precomputed-score order (the score-sorted-docids invariant,
+  * reference: crates/core/src/inverted_index/mod.rs:195-204). */
+final case class DocRow(segment: Int, docId: Int, repo: String, path: String,
+                        commit: String, lang: String, sha256: String,
+                        numTokens: Int, fieldNormId: Byte, sortKey: Long)
+
+/** One posting list row. `shard` > 0 marks docId-range shards of a hot
+  * term (skew bound: no single row/task ever holds more than
+  * maxPostingsPerShard entries of one term). */
+final case class PostingRow(segment: Int, term: String, shard: Int,
+                            docFreq: Int, docIdBase: Int,
+                            lastDocs: Array[Int], docBits: Array[Byte],
+                            tfBits: Array[Byte], bwFnormIds: Array[Byte],
+                            bwTfs: Array[Byte], packedDocs: Array[Byte],
+                            packedTfs: Array[Byte], tailBytes: Array[Byte]) {
+  def toData: PostingListData =
+    PostingListData(term, docFreq, docIdBase, lastDocs, docBits, tfBits,
+      bwFnormIds, bwTfs, packedDocs, packedTfs, tailBytes)
+}
+
+object PostingRow {
+  def from(segment: Int, shard: Int, docIdBase: Int, d: PostingListData): PostingRow =
+    PostingRow(segment, d.term, shard, d.docFreq, docIdBase, d.lastDocs,
+      d.docBits, d.tfBits, d.bwFnormIds, d.bwTfs, d.packedDocs, d.packedTfs,
+      d.tailBytes)
+}
+
+/** Per-segment fieldnorm ids, chunked so no parquet row exceeds ~8 MiB
+  * (docId = chunk * chunkSize + offset). */
+final case class FnormRow(segment: Int, chunk: Int, numDocs: Int, fnorms: Array[Byte])
+
+/** Per-segment statistics + lineage manifest row. sha256Agg is a
+  * commutative XOR-fold of per-row content hashes: the per-partition
+  * fidelity witness (BASELINE.json per-row invariant). */
+final case class SegStatRow(segment: Int, numDocs: Long, numTokens: Long,
+                            numTerms: Long, numPostings: Long,
+                            sha256Agg: String, buildMs: Long)
+
+/** Collection-level statistics (Catalyst aggregates over SegStatRow). */
+final case class CollectionStats(numDocs: Long, numTokens: Long, numSegments: Int) {
+  def avgFieldNorm: Float = numTokens.toFloat / numDocs.toFloat
+}
+
+/** Final query hit. */
+final case class Hit(rank: Int, segment: Int, docId: Int, score: Float,
+                     repo: String, path: String)
