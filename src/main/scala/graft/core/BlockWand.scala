@@ -12,10 +12,19 @@ final case class ScoredDoc(doc: Int, score: Float)
   * in ascending doc order, so keeping the incumbent on score ties is
   * exactly the reference's lowest-doc-wins tie-break. */
 final class TopK(k: Int) {
-  // binary min-heap on (score asc, doc desc): root = current worst
-  private val scores = new Array[Float](k)
-  private val docs = new Array[Int](k)
+  // binary min-heap on (score asc, doc desc): root = current worst;
+  // storage grows lazily toward k so huge k (collect-all) stays cheap
+  private var scores = new Array[Float](math.max(1, math.min(k, 1024)))
+  private var docs = new Array[Int](scores.length)
   private var n = 0
+
+  private def ensure(): Unit = {
+    if (n == scores.length && n < k) {
+      val cap = math.min(k.toLong, scores.length * 2L).toInt
+      scores = java.util.Arrays.copyOf(scores, cap)
+      docs = java.util.Arrays.copyOf(docs, cap)
+    }
+  }
 
   @inline private def worseThan(s1: Float, d1: Int, s2: Float, d2: Int): Boolean =
     s1 < s2 || (s1 == s2 && d1 > d2)
@@ -53,6 +62,7 @@ final class TopK(k: Int) {
   /** Insert if it beats the threshold; returns the new threshold. */
   def push(doc: Int, score: Float): Float = {
     if (n < k) {
+      ensure()
       scores(n) = score; docs(n) = doc; n += 1; siftUp(n - 1)
     } else if (score > scores(0)) {
       scores(0) = score; docs(0) = doc; siftDown()

@@ -85,8 +85,9 @@ object Corpus {
       sb.append(' ')
       t += 1
     }
-    // per-doc salt words (unique tails for the term dictionary)
-    sb.append(s"zz_salt_${i}_a zz_salt_${i}_b")
+    // per-doc salt words (unique tails for the term dictionary; pure
+    // alphanumeric so the default tokenizer keeps them whole)
+    sb.append(s"zzsalt${i}a zzsalt${i}b")
     if (skew && nextDouble() < 0.95) sb.append(" license license license")
     SourceDoc(repo, path, commit, lang, sb.toString)
   }

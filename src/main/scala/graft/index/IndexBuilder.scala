@@ -53,9 +53,10 @@ object IndexBuilder {
                             doc: Option[DocRow], posting: Option[PostingRow],
                             fnorm: Option[FnormRow], stat: Option[SegStatRow])
 
-  private final case class Tagged(segment: Int, sortKey: Long, repo: String,
-                                  path: String, commit: String, lang: String,
-                                  content: String)
+  /** Public: Spark codegen needs accessor visibility on encoder types. */
+  final case class Tagged(segment: Int, sortKey: Long, repo: String,
+                          path: String, commit: String, lang: String,
+                          content: String)
 
   /** FNV-1a 64-bit — stable across Spark/JVM versions, unlike
     * Murmur3-based Spark `hash()` which is only stable per version. */
@@ -157,7 +158,7 @@ object IndexBuilder {
 
       // commit manifests for this batch (checkpoint + lineage)
       val stats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
-        .select("segment", "stat.*").as[SegStatRow]
+        .select("stat.*").as[SegStatRow]
         .filter(s => batchSet.contains(s.segment)).collect()
       stats.foreach(writeManifest(outDir, _))
       // segments with zero input rows still need a manifest to be "done"
@@ -169,7 +170,7 @@ object IndexBuilder {
     }
 
     val allStats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
-      .select("segment", "stat.*").as[SegStatRow].collect()
+      .select("stat.*").as[SegStatRow].collect()
     BuildReport(allStats.map(_.numDocs).sum, allStats.map(_.numTokens).sum,
       built, done.size, (System.nanoTime() - t0) / 1000000)
   }

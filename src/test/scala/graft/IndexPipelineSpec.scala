@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/** End-to-end: corpus -> segmented index -> BM25 top-k, verified three
+  * ways (SURVEY.md §7.2): WAND == exhaustive oracle, scores == the
+  * relational (join/agg) BM25 computed from raw tokens, and per-row
+  * sha256 fidelity. */
+class IndexPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftidx").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private lazy val corpus = Corpus.generate(spark, 800, seed = 42L, partitions = 7).cache()
+
+  private lazy val (dir, index) = {
+    val d = tmpDir()
+    IndexBuilder.build(spark, corpus, d, IndexBuilder.Config(numSegments = 4))
+    (d, new InvertedIndex(spark, d))
+  }
+
+  test("build is complete and idempotent (segment-granularity resume)") {
+    assert(index.stats.numDocs == 800)
+    assert(index.stats.numSegments == 4)
+    val again = IndexBuilder.build(spark, corpus, dir, IndexBuilder.Config(numSegments = 4))
+    assert(again.segmentsSkipped == 4)
+    assert(again.numDocs == 800)
+  }
+
+  test("per-row sha256 fidelity vs ingest") {
+    import spark.implicits._
+    val fromIndex = index.docs.map(d => (d.repo, d.path, d.sha256))
+    val fromSource = corpus.map(c => (c.repo, c.path, IndexBuilder.sha256Hex(c.content)))
+    assert(fromIndex.except(fromSource).count() == 0)
+    assert(fromSource.except(fromIndex).count() == 0)
+  }
+
+  test("WAND == exhaustive oracle on the fixture query set") {
+    val queries = Seq("spark session", "query engine", "the", "license apache spark",
+      "great website", "tok011 tok012 tok013", "zzsalt5a", "data data data data",
+      "c++", "nosuchtokenanywhere", "index merge sort hash join")
+    queries.foreach { q =>
+      val w = index.searchRaw(q, 20, "or")
+      val e = index.searchRaw(q, 20, "exhaustive")
+      assert(w.toSeq == e.toSeq, s"query '$q'")
+    }
+  }
+
+  test("scores match relational BM25 (join/agg oracle)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val terms = index.queryTerms("spark session")
+    val N = index.stats.numDocs
+    val avgFn = index.stats.avgFieldNorm
+    // relational path: explode tokens, tf per (doc, term), join stats
+    val toks = corpus.flatMap { d =>
+      val tf = graft.core.Tokenizers.termFreqs(d.content)
+      val fnId = graft.core.FieldNorm.fieldNormToId(
+        { var s = 0L; tf.values.forEach(v => s += v); s })
+      terms.flatMap { t =>
+        val c = tf.getOrDefault(t, 0)
+        if (c > 0) Some((d.repo, d.path, t, c, fnId.toInt)) else None
+      }
+    }.toDF("repo", "path", "term", "tf", "fnId")
+    val dfs = index.dfOf(terms.toSeq)
+    val rows = toks.collect()
+    val weights = dfs.map { case (t, df) =>
+      t -> new graft.core.Bm25Weight(graft.core.Bm25.idf(df, N) * 2.2f, avgFn)
+    }
+    val scored = rows.groupBy(r => (r.getString(0), r.getString(1))).map { case (k, rs) =>
+      var s = 0.0
+      rs.sortBy(_.getString(2)).foreach { r =>
+        s += weights(r.getString(2)).score(r.getInt(4).toByte, r.getInt(3)).toDouble
+      }
+      k -> s
+    }
+    val top = index.search("spark session", 10, "or")
+    top.foreach { h =>
+      val rel = scored((h.repo, h.path))
+      assert(math.abs(rel - h.score) < 1e-4 * math.abs(rel),
+        s"doc ${h.repo}/${h.path}: engine=${h.score} relational=$rel")
+    }
+  }
+
+  test("AND intersection and negation semantics") {
+    import spark.implicits._
+    val hitsAnd = index.search("spark session", 50, "and")
+    // brute force: docs containing BOTH tokens
+    val expect = corpus.flatMap { d =>
+      val tf = graft.core.Tokenizers.termFreqs(d.content)
+      if (tf.containsKey("spark") && tf.containsKey("session")) Some((d.repo, d.path)) else None
+    }.collect().toSet
+    assert(hitsAnd.map(h => (h.repo, h.path)).toSet.subsetOf(expect))
+    val andCount = index.searchRaw("spark session", Int.MaxValue - 1, "and").length
+    assert(andCount == expect.size)
+
+    val neg = index.searchRaw("spark", 1000, "or", minusTerms = Seq("session"))
+    val negSet = index.resolve(neg, neg.length).map(h => (h.repo, h.path)).toSet
+    val expectNeg = corpus.flatMap { d =>
+      val tf = graft.core.Tokenizers.termFreqs(d.content)
+      if (tf.containsKey("spark") && !tf.containsKey("session")) Some((d.repo, d.path)) else None
+    }.collect().toSet
+    assert(negSet == expectNeg)
+  }
+
+  test("hot-term sharding produces identical results") {
+    val d2 = tmpDir()
+    IndexBuilder.build(spark, corpus, d2,
+      IndexBuilder.Config(numSegments = 4, maxPostingsPerShard = 64))
+    val sharded = new InvertedIndex(spark, d2)
+    import spark.implicits._
+    assert(sharded.postings.filter(_.shard > 0).count() > 0, "expected shards")
+    Seq("the", "license apache", "spark session query", "data index").foreach { q =>
+      assert(sharded.searchRaw(q, 20, "or").toSeq == index.searchRaw(q, 20, "or").toSeq,
+        s"query '$q'")
+    }
+  }
+
+  test("determinism: same index at different parallelism") {
+    val d3 = tmpDir()
+    val corpus2 = Corpus.generate(spark, 800, seed = 42L, partitions = 3)
+    IndexBuilder.build(spark, corpus2, d3, IndexBuilder.Config(numSegments = 4))
+    val idx3 = new InvertedIndex(spark, d3)
+    Seq("spark session", "the license", "query").foreach { q =>
+      assert(idx3.searchRaw(q, 20, "or").toSeq == index.searchRaw(q, 20, "or").toSeq)
+    }
+    // doc ids themselves are identical
+    import spark.implicits._
+    val a = index.docs.map(d => (d.segment, d.docId, d.repo, d.path)).collect().toSet
+    val b = idx3.docs.map(d => (d.segment, d.docId, d.repo, d.path)).collect().toSet
+    assert(a == b)
+  }
+}
