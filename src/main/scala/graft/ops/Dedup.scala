@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection operators (dedup family for training-data
+  * pipelines). Exact + MinHash-LSH are pure column/agg plans; SimHash
+  * (reference semantics: crates/core/src/simhash.rs:20-50 — 64-bit
+  * majority-vote signature over token hashes) is a typed map using a
+  * stable FNV-1a token hash. */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per content hash. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
+
+  /** MinHash-LSH candidate pairs: docs sharing any of `bands` band
+    * signatures. Shuffle is keyed by (band, signature) — a classic
+    * bucket join; no quadratic blow-up. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id") +:
+      (0 until bands).map(j =>
+        TextOps.minhashBand(col(textCol), j, shingleN).as(s"b$j")): _*)
+    val long = sigs.select(col("id"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"), col(s"b$j").as("sig"))): _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.sig"))
+      .where(col("sig").isNotNull)
+    val a = long.as("a")
+    val b = long.as("b")
+    a.join(b, expr("a.band = b.band AND a.sig = b.sig AND a.id < b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens with FNV-1a 64 hashes. */
+  def simhash64(tokens: Iterable[String]): Long = {
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = graft.index.IndexBuilder.fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash per row (typed map; deterministic). */
+  def withSimhash(spark: SparkSession, df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, simhash64(text.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+      }
+      .toDF("id", "simhash")
+  }
+
+  /** Hamming distance between two 64-bit signatures as a column. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard over candidate pairs that share at least one
+    * shingle (the join prunes the quadratic space). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.shingles(col(textCol), shingleN))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        expr("x.sh = y.sh AND x.id < y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
