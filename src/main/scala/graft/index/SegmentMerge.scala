@@ -1,0 +1,266 @@
+package graft.index
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.{BlockCodec, Bm25Weight, PostingListData, PostingsCursor}
+
+/** Record-level segment merge: K input segments -> K/fanIn output
+  * segments, the Spark re-derivation of the reference's TermMerger
+  * k-way sort-merge (crates/tantivy/src/indexer/merger.rs:394-430).
+  *
+  * Plan shape:
+  *  - doc-id remap is pure arithmetic: newDocId = base(oldSeg) + docId,
+  *    bases from the (tiny, broadcast) per-segment stats; doc and fnorm
+  *    rows rewrite narrowly.
+  *  - posting rows shuffle ONCE, keyed by new segment, secondary-sorted
+  *    by (kindOrder, term, oldSeg, shard) — the sort-merge on term keys.
+  *    A task streams: first the group's fieldnorm chunks (kindOrder 0),
+  *    then posting sublists grouped by term, decoding each term's
+  *    sublists in old-segment order (their new doc-id ranges are
+  *    disjoint and ascending, so concatenation IS the merge), and
+  *    re-encodes blocks with the merged segment's stats — the reference
+  *    recomputes block-max metadata the same way at merge time.
+  *  - skew: the shuffled unit is a *compressed posting-list row*, never
+  *    individual postings, so a hot term contributes at most
+  *    fanIn x shardsPerSegment rows to one group (the salted two-phase
+  *    structure the north rule asks for: shard = salt, re-sharding on
+  *    output bounds row size again).
+  *
+  * Deviation from the reference, documented: the reference re-sorts the
+  * merged segment globally by precomputed score
+  * (indexer/doc_id_mapping.rs:120-141); we keep old-segment
+  * concatenation order so packed doc blocks stay valid under a constant
+  * base shift. Score-sorted iteration inside each old range is
+  * preserved; global score order across ranges is not (it only affects
+  * the ShortCircuit early-termination path, not BM25 top-k results).
+  */
+object SegmentMerge {
+
+  final case class MergeRow(segment: Int, kindOrder: Int, term: String,
+                            oldSeg: Int, shard: Int,
+                            posting: Option[PostingRow],
+                            fnorm: Option[FnormRow])
+
+  def merge(spark: SparkSession, inDir: String, outDir: String,
+            fanIn: Int, cfg: IndexBuilder.Config = IndexBuilder.Config()): Unit = {
+    import spark.implicits._
+    val in = new InvertedIndex(spark, inDir)
+    new java.io.File(IndexBuilder.manifestDir(outDir)).mkdirs()
+
+    // bases + merged stats from the stat table (driver-side, tiny)
+    val stats = in.segStats.collect().sortBy(_.segment)
+    val newSegOf: Int => Int = old => old / fanIn
+    val grouped = stats.groupBy(s => newSegOf(s.segment))
+    val baseOf: Map[Int, Int] = grouped.values.flatMap { g =>
+      var acc = 0
+      g.sortBy(_.segment).map { s =>
+        val b = s.segment -> acc
+        acc += s.numDocs.toInt
+        b
+      }
+    }.toMap
+    val mergedStats: Map[Int, (Long, Long)] = grouped.map { case (ns, g) =>
+      ns -> (g.map(_.numDocs).sum, g.map(_.numTokens).sum)
+    }
+    val bBase = spark.sparkContext.broadcast(baseOf)
+    val bStats = spark.sparkContext.broadcast(mergedStats)
+    val maxShard = cfg.maxPostingsPerShard
+    val fnChunk = cfg.fnormChunkSize
+
+    // 1) docs: narrow rewrite
+    in.docs.map { d =>
+      val ns = newSegOf(d.segment)
+      val base = bBase.value(d.segment)
+      IndexBuilder.BuildRow("doc", ns,
+        Some(d.copy(segment = ns, docId = d.docId + base)), None, None, None)
+    }.write.mode(SaveMode.Append).partitionBy("kind")
+      .parquet(IndexBuilder.dataDir(outDir))
+
+    // 2) fnorms + postings: one term-sorted shuffle per merged segment
+    val fnRows = in.fnorms.map(f =>
+      MergeRow(newSegOf(f.segment), 0, "", f.segment, f.chunk, None, Some(f)))
+    val postRows = in.postings.map(p =>
+      MergeRow(newSegOf(p.segment), 1, p.term, p.segment, p.shard, Some(p), None))
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      mergedStats.size)
+    val merged = fnRows.union(postRows)
+      .repartition(parts, col("segment"))
+      .sortWithinPartitions(col("segment"), col("kindOrder"), col("term"),
+        col("oldSeg"), col("shard"))
+      .mapPartitions { it =>
+        new MergeEmitter(it, bBase.value, bStats.value, maxShard, fnChunk)
+      }
+    merged.write.mode(SaveMode.Append).partitionBy("kind")
+      .parquet(IndexBuilder.dataDir(outDir))
+
+    // 3) merged manifests (lineage: XOR of input sha aggregates combines)
+    grouped.toSeq.sortBy(_._1).foreach { case (ns, g) =>
+      val sha = g.map(_.sha256Agg).reduce { (a, b) =>
+        a.grouped(2).zip(b.grouped(2)).map { case (x, y) =>
+          f"${Integer.parseInt(x, 16) ^ Integer.parseInt(y, 16)}%02x"
+        }.mkString
+      }
+      val row = SegStatRow(ns, g.map(_.numDocs).sum, g.map(_.numTokens).sum,
+        0, g.map(_.numPostings).sum, sha, 0)
+      val json =
+        s"""{"segment":${row.segment},"numDocs":${row.numDocs},"numTokens":${row.numTokens},
+           |"numPostings":${row.numPostings},"sha256Agg":"${row.sha256Agg}",
+           |"mergedFrom":[${g.map(_.segment).mkString(",")}]}""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        IndexBuilder.manifestDir(outDir), f"seg-${row.segment}%05d.json"), json)
+    }
+  }
+
+  /** Streams one sorted partition of MergeRows; per merged segment:
+    * fieldnorm chunks first, then terms in sorted order. */
+  private final class MergeEmitter(it: Iterator[MergeRow],
+                                   bases: Map[Int, Int],
+                                   stats: Map[Int, (Long, Long)],
+                                   maxShard: Int, fnChunk: Int)
+      extends Iterator[IndexBuilder.BuildRow] {
+    private val buf = it.buffered
+    private var pending: Iterator[IndexBuilder.BuildRow] = Iterator.empty
+
+    def hasNext: Boolean = pending.hasNext || buf.hasNext
+
+    def next(): IndexBuilder.BuildRow = {
+      while (!pending.hasNext) {
+        if (!buf.hasNext) throw new NoSuchElementException
+        pending = emitSegment()
+      }
+      pending.next()
+    }
+
+    /** Consumes all rows of one merged segment (rows arrive contiguous
+      * and sorted) and emits fnorm/posting/stat rows lazily per term. */
+    private def emitSegment(): Iterator[IndexBuilder.BuildRow] = {
+      val seg = buf.head.segment
+      val (nDocs64, nTokens) = stats(seg)
+      val nDocs = nDocs64.toInt
+      val avgFn = if (nDocs == 0) 1.0f else nTokens.toFloat / nDocs.toFloat
+
+      // fieldnorms: kindOrder 0 rows, sorted by (oldSeg, chunk); bases
+      // are ascending with oldSeg so plain concatenation is the remap
+      val fnOut = new java.io.ByteArrayOutputStream(nDocs)
+      while (buf.hasNext && buf.head.segment == seg && buf.head.kindOrder == 0) {
+        val f = buf.next().fnorm.get
+        fnOut.write(f.fnorms, 0, f.numDocs)
+      }
+      val fnArr = fnOut.toByteArray
+      require(fnArr.length == nDocs, s"fnorm length ${fnArr.length} != $nDocs docs in merged seg $seg")
+
+      val fnRows = (0 until nDocs by fnChunk).iterator.map { off =>
+        val end = math.min(off + fnChunk, nDocs)
+        IndexBuilder.BuildRow("fnorm", seg, None, None,
+          Some(FnormRow(seg, off / fnChunk,
+            end - off, java.util.Arrays.copyOfRange(fnArr, off, end))), None)
+      }
+
+      var numTerms = 0L
+      val postRows: Iterator[IndexBuilder.BuildRow] = new Iterator[IndexBuilder.BuildRow] {
+        private var out: Iterator[IndexBuilder.BuildRow] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!out.hasNext && buf.hasNext && buf.head.segment == seg) out = nextTerm()
+          out.hasNext
+        }
+        def next(): IndexBuilder.BuildRow = { hasNext; out.next() }
+
+        /** k-way merge of one term: sublists arrive ordered by
+          * (oldSeg, shard); decode, shift, concatenate, re-encode. */
+        private def nextTerm(): Iterator[IndexBuilder.BuildRow] = {
+          val term = buf.head.term
+          val docs = new java.util.ArrayList[Array[Int]]
+          val tfs = new java.util.ArrayList[Array[Int]]
+          var df = 0
+          while (buf.hasNext && buf.head.segment == seg && buf.head.term == term) {
+            val row = buf.next()
+            val p = row.posting.get
+            val base = bases(row.oldSeg)
+            val (d, t) = decodeAll(p, base)
+            docs.add(d); tfs.add(t); df += d.length
+          }
+          numTerms += 1
+          val allD = new Array[Int](df)
+          val allT = new Array[Int](df)
+          var off = 0
+          var i = 0
+          while (i < docs.size) {
+            System.arraycopy(docs.get(i), 0, allD, off, docs.get(i).length)
+            System.arraycopy(tfs.get(i), 0, allT, off, tfs.get(i).length)
+            off += docs.get(i).length
+            i += 1
+          }
+          val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, avgFn)
+          if (df <= maxShard) {
+            val pl = PostingListData.build(term, allD, allT, w, fnArr)
+            Iterator.single(IndexBuilder.BuildRow("posting", seg, None,
+              Some(PostingRow.from(seg, 0, 0, pl)), None, None))
+          } else {
+            (0 until df by maxShard).iterator.zipWithIndex.map { case (o, sh) =>
+              val end = math.min(o + maxShard, df)
+              val pl = PostingListData.build(term,
+                java.util.Arrays.copyOfRange(allD, o, end),
+                java.util.Arrays.copyOfRange(allT, o, end), w, fnArr)
+              IndexBuilder.BuildRow("posting", seg, None,
+                Some(PostingRow.from(seg, sh, 0, pl)), None, None)
+            }
+          }
+        }
+      }
+
+      val statRow: Iterator[IndexBuilder.BuildRow] = new Iterator[IndexBuilder.BuildRow] {
+        private var done = false
+        def hasNext: Boolean = !done
+        def next(): IndexBuilder.BuildRow = {
+          done = true
+          IndexBuilder.BuildRow("stat", seg, None, None, None,
+            Some(SegStatRow(seg, nDocs.toLong, nTokens, numTerms, 0L, "", 0L)))
+        }
+      }
+      fnRows ++ postRows ++ statRow
+    }
+
+    /** Decode a whole posting row into (docs+base, tfs). */
+    private def decodeAll(p: PostingRow, base: Int): (Array[Int], Array[Int]) = {
+      val data = p.toData
+      val n = data.docFreq
+      val d = new Array[Int](n)
+      val t = new Array[Int](n)
+      val blockD = new Array[Int](BlockCodec.BlockSize)
+      val blockT = new Array[Int](BlockCodec.BlockSize)
+      var dOff = 0
+      var tOff = 0
+      var out = 0
+      var b = 0
+      while (b < data.numFullBlocks) {
+        val prev = if (b == 0) -1 else data.lastDocs(b - 1)
+        BlockCodec.decodeSortedBlock(data.packedDocs, dOff, prev,
+          data.docBits(b) & 0xff, blockD)
+        BlockCodec.decodeTfBlock(data.packedTfs, tOff, data.tfBits(b) & 0xff, blockT)
+        var i = 0
+        while (i < BlockCodec.BlockSize) {
+          d(out) = blockD(i) + data.docIdBase + base
+          t(out) = blockT(i)
+          out += 1; i += 1
+        }
+        dOff += BlockCodec.packedSize(data.docBits(b) & 0xff)
+        tOff += BlockCodec.packedSize(data.tfBits(b) & 0xff)
+        b += 1
+      }
+      val tailN = data.tailCount
+      if (tailN > 0) {
+        val baseDoc = if (data.numFullBlocks == 0) 0 else data.lastDocs(data.numFullBlocks - 1)
+        val used = BlockCodec.unvintSorted(data.tailBytes, 0, tailN, baseDoc, blockD)
+        BlockCodec.unvintUnsorted(data.tailBytes, used, tailN, blockT)
+        var i = 0
+        while (i < tailN) {
+          d(out) = blockD(i) + data.docIdBase + base
+          t(out) = blockT(i)
+          out += 1; i += 1
+        }
+      }
+      (d, t)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index._
+
+/** Record-level merge: K segments -> K/fanIn, results must stay exact. */
+class SegmentMergeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftmerge").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private lazy val corpus = Corpus.generate(spark, 600, seed = 7L, partitions = 5).cache()
+
+  private lazy val (srcDir, srcIdx) = {
+    val d = tmpDir()
+    IndexBuilder.build(spark, corpus, d, IndexBuilder.Config(numSegments = 6))
+    (d, new InvertedIndex(spark, d))
+  }
+
+  private val queries = Seq("spark session", "the", "license apache spark",
+    "query engine block", "zzsalt7a", "data table row")
+
+  private def checkMerged(fanIn: Int, cfg: IndexBuilder.Config): Unit = {
+    val out = tmpDir()
+    SegmentMerge.merge(spark, srcDir, out, fanIn, cfg)
+    val merged = new InvertedIndex(spark, out)
+    assert(merged.stats.numDocs == 600)
+    assert(merged.stats.numTokens == srcIdx.stats.numTokens)
+    assert(merged.stats.numSegments == (6 + fanIn - 1) / fanIn)
+    // rank-identity within the merged index: WAND == exhaustive
+    queries.foreach { q =>
+      val w = merged.searchRaw(q, 20, "or")
+      val e = merged.searchRaw(q, 20, "exhaustive")
+      assert(w.toSeq == e.toSeq, s"merged fanIn=$fanIn query '$q'")
+    }
+    // same documents and scores as the unmerged index (doc ids remap)
+    queries.foreach { q =>
+      val a = srcIdx.search(q, 20, "or").map(h => (h.repo, h.path, h.score)).toSet
+      val b = merged.search(q, 20, "or").map(h => (h.repo, h.path, h.score)).toSet
+      assert(a == b, s"fanIn=$fanIn query '$q'")
+    }
+    // doc table integrity: every (repo, path) still present exactly once
+    import spark.implicits._
+    assert(merged.docs.map(d => (d.repo, d.path)).distinct().count() == 600)
+  }
+
+  test("merge 6 -> 3 segments") { checkMerged(2, IndexBuilder.Config()) }
+  test("merge 6 -> 1 segment") { checkMerged(6, IndexBuilder.Config()) }
+  test("merge with hot-term re-sharding") {
+    checkMerged(3, IndexBuilder.Config(maxPostingsPerShard = 128))
+  }
+}
