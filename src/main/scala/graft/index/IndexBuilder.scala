@@ -144,17 +144,13 @@ object IndexBuilder {
       val slice =
         if (done.isEmpty && batch.size == S) tagged
         else tagged.filter(t => batchSet.contains(t.segment))
+      // over-partition well beyond the segment count: hash placement of S
+      // segment keys into exactly S partitions leaves ~37% empty and some
+      // with 3-4 segments (straggler waves); at 4x, surplus partitions are
+      // cheap no-ops and the max per-task load stays ~1-2 segments
       val parts = math.max(spark.sparkContext.defaultParallelism,
-        math.min(batch.size, spark.sparkContext.defaultParallelism * 2))
-      val rows = slice
-        .repartition(parts, col("segment"))
-        .sortWithinPartitions(col("segment"), col("sortKey").desc,
-          col("repo"), col("path"), col("commit"))
-        .mapPartitions { it =>
-          new SegmentEmitter(it, maxShard, fnChunk)
-        }
-      rows.write.mode(SaveMode.Append).partitionBy("kind")
-        .parquet(dataDir(outDir))
+        math.min(batch.size * 4, 4096))
+      writeSegments(slice, parts, outDir, cfg)
 
       // commit manifests for this batch (checkpoint + lineage)
       val stats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
@@ -173,6 +169,25 @@ object IndexBuilder {
       .select("stat.*").as[SegStatRow].collect()
     BuildReport(allStats.map(_.numDocs).sum, allStats.map(_.numTokens).sum,
       built, done.size, (System.nanoTime() - t0) / 1000000)
+  }
+
+  /** Shared segment-build stage: shuffle to segments, sort, accumulate,
+    * serialize, append. Used by the batch build and the live (streaming)
+    * micro-batch append. */
+  def writeSegments(tagged: Dataset[Tagged], parts: Int, outDir: String,
+                    cfg: Config): Unit = {
+    val maxShard = cfg.maxPostingsPerShard
+    val fnChunk = cfg.fnormChunkSize
+    import tagged.sparkSession.implicits._
+    tagged
+      .repartition(parts, col("segment"))
+      .sortWithinPartitions(col("segment"), col("sortKey").desc,
+        col("repo"), col("path"), col("commit"))
+      .mapPartitions { it =>
+        new SegmentEmitter(it, maxShard, fnChunk)
+      }
+      .write.mode(SaveMode.Append).partitionBy("kind")
+      .parquet(dataDir(outDir))
   }
 
   private def writeManifest(outDir: String, s: SegStatRow): Unit = {

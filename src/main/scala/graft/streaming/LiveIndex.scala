@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.index._
+
+/** Live index — the Structured Streaming analog of the reference's
+  * WAL-backed live index (crates/core/src/live_index/mod.rs:27-32,
+  * live_index/index.rs:109-151,341): batched inserts become micro-batch
+  * mini-segments, auto-commit becomes the streaming trigger, the
+  * hourly age-based compaction becomes an explicit `compact()` batch
+  * job over the accumulated mini-segments, and the WAL/restart story is
+  * Spark's own checkpointLocation (exactly-once foreachBatch replay).
+  *
+  * Mini-segment ids are `LiveBase + batchId * SegsPerBatch + k`, so the
+  * batch id (age) is recoverable from the segment id — that is what
+  * TTL/compaction filters on, like the reference's segment-age cutoff.
+  */
+object LiveIndex {
+  final val LiveBase = 1 << 20
+  final val SegsPerBatch = 4
+
+  def batchIdOf(segment: Int): Long = (segment - LiveBase) / SegsPerBatch
+
+  /** Append one micro-batch as SegsPerBatch mini-segments + manifests. */
+  def appendBatch(batch: Dataset[SourceDoc], batchId: Long, dir: String,
+                  cfg: IndexBuilder.Config = IndexBuilder.Config()): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val base = LiveBase + (batchId * SegsPerBatch).toInt
+    val tagged = batch.map { d =>
+      IndexBuilder.Tagged(
+        base + IndexBuilder.segmentOf(d.repo, d.path, SegsPerBatch),
+        IndexBuilder.sortKeyOf(d.repo, d.path, d.commit),
+        d.repo, d.path, d.commit, d.lang, d.content)
+    }
+    IndexBuilder.writeSegments(tagged, SegsPerBatch * 2, dir, cfg)
+    // manifests (lineage + makes the mini-segments visible as committed)
+    val stats = spark.read.parquet(s"${IndexBuilder.dataDir(dir)}/kind=stat")
+      .select("stat.*").as[SegStatRow]
+      .filter(s => s.segment >= base && s.segment < base + SegsPerBatch)
+      .collect()
+    stats.foreach { s =>
+      val json = s"""{"segment":${s.segment},"numDocs":${s.numDocs},"numTokens":${s.numTokens},"batchId":$batchId}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        IndexBuilder.manifestDir(dir), f"seg-${s.segment}%07d.json"), json)
+    }
+  }
+
+  /** Start the streaming ingestion: one mini-segment group per
+    * micro-batch, exactly-once via checkpointed foreachBatch. */
+  def start(stream: Dataset[SourceDoc], dir: String, checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    new java.io.File(IndexBuilder.manifestDir(dir)).mkdirs()
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[SourceDoc], id: Long) =>
+        appendBatch(b, id, dir)
+      }
+      .start()
+  }
+
+  /** Age-based compaction: merge all live mini-segments with
+    * batchId <= maxBatchId into the (batch) index layout at outDir.
+    * The reference compacts hourly by segment age
+    * (live_index/index.rs:341); here the age cutoff is the batch id. */
+  def compact(spark: SparkSession, liveDir: String, outDir: String,
+              cfg: IndexBuilder.Config = IndexBuilder.Config()): Unit = {
+    // merge everything into segment-id space starting at 0
+    SegmentMerge.merge(spark, liveDir, outDir, fanIn = Int.MaxValue, cfg)
+  }
+}

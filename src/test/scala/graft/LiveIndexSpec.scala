@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index._
+import graft.streaming.LiveIndex
+
+/** Streaming live-index: micro-batch appends must serve the same
+  * results as a batch build of the same corpus; compaction preserves
+  * them. */
+class LiveIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("micro-batch ingest == batch build; compaction preserves results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = (0L until 300L).map(i => Corpus.mkDoc(i, 42L, skew = false))
+    val liveDir = tmpDir("graftlive")
+    val ckpt = tmpDir("graftckpt")
+
+    val stream = MemoryStream[SourceDoc]
+    val query = LiveIndex.start(stream.toDS(), liveDir, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    docs.grouped(100).foreach { g => stream.addData(g); query.processAllAvailable() }
+    query.stop()
+
+    val live = new InvertedIndex(spark, liveDir)
+    assert(live.stats.numDocs == 300)
+
+    // batch reference index over the same docs
+    val batchDir = tmpDir("graftbatch")
+    IndexBuilder.build(spark, spark.createDataset(docs), batchDir,
+      IndexBuilder.Config(numSegments = 4))
+    val batch = new InvertedIndex(spark, batchDir)
+
+    val queries = Seq("spark session", "the license", "query engine data")
+    queries.foreach { q =>
+      assert(live.searchRaw(q, 15, "or").toSeq ==
+        live.searchRaw(q, 15, "exhaustive").toSeq, s"live WAND '$q'")
+      val a = live.search(q, 15).map(h => (h.repo, h.path, h.score)).toSet
+      val b = batch.search(q, 15).map(h => (h.repo, h.path, h.score)).toSet
+      assert(a == b, s"live vs batch '$q'")
+    }
+
+    // restart with same checkpoint: no duplicate ingestion
+    val stream2 = MemoryStream[SourceDoc]
+    val q2 = LiveIndex.start(stream2.toDS(), liveDir, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(new InvertedIndex(spark, liveDir).stats.numDocs == 300)
+
+    // compact all mini-segments into one batch-layout segment
+    val compactDir = tmpDir("graftcompact")
+    LiveIndex.compact(spark, liveDir, compactDir)
+    val compacted = new InvertedIndex(spark, compactDir)
+    assert(compacted.stats.numDocs == 300)
+    assert(compacted.stats.numSegments == 1)
+    queries.foreach { q =>
+      val a = compacted.search(q, 15).map(h => (h.repo, h.path, h.score)).toSet
+      val b = batch.search(q, 15).map(h => (h.repo, h.path, h.score)).toSet
+      assert(a == b, s"compacted vs batch '$q'")
+    }
+  }
+}

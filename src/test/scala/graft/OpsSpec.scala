@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup groups preserve row count") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    val total = g.agg(sum("copies")).head().getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("simhash: identical text -> identical signature; determinism") {
+    val a = Dedup.simhash64(Seq("the", "quick", "brown", "fox"))
+    val b = Dedup.simhash64(Seq("the", "quick", "brown", "fox"))
+    val c = Dedup.simhash64(Seq("entirely", "different", "words", "here"))
+    assert(a == b)
+    assert(a != c)
+    // near-dup: one word changed flips few bits
+    val d = Dedup.simhash64(Seq("the", "quick", "brown", "cat"))
+    assert(java.lang.Long.bitCount(a ^ d) < 32)
+  }
+
+  test("minhash candidates include exact duplicates") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text").collect()
+    assert(cands.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!cands.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("cosine self-similarity == 1") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 3).head().getSeq[Float](1).toArray
+    val top = Similarity.topKCosine(emb, "vec_id", "embedding", q, 1).head()
+    assert(top.getLong(0) == 3L)
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("lsh bucket is deterministic and partitions the space") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val b1 = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
+    val counts = b1.groupBy("bucket").count().collect()
+    assert(counts.length > 1 && counts.length <= 256)
+    val again = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
+    assert(b1.except(again).count() == 0)
+  }
+
+  test("multimodal plumbing: schema, determinism, frame sampling") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(spark, docs.limit(50), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media, dim = 4).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.features.length == 4))
+    val feats2 = Multimodal.extractFeatures(spark, media, dim = 4).collect()
+    assert(feats.map(f => (f.media_id, f.features.toSeq)).toSet ==
+      feats2.map(f => (f.media_id, f.features.toSeq)).toSet)
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 64, everyN = 2)
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq ==
+      Seq("media_id", "frame", "frame_bytes", "features"))
+  }
+
+  test("shingles + fingerprint column ops") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("id", "text")
+    val sh = df.select(TextOps.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val fp1 = df.select(TextOps.fingerprint(col("text"))).head().getString(0)
+    val fp2 = Seq((2L, "d c b a")).toDF("id", "text")
+      .select(TextOps.fingerprint(col("text"))).head().getString(0)
+    assert(fp1 == fp2) // order-insensitive (sorted distinct set)
+  }
+}
+
+/** Driver-contract smoke: entry + a few queries execute and return rows. */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("entry returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("rank", "doc_id", "score"))
+  }
+
+  test("every oracle query name exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("queries run on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, d).count()
+      assert(n >= 0, name)
+    }
+  }
+}
