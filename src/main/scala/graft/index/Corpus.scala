@@ -52,10 +52,7 @@ object Corpus {
     z ^ (z >>> 31)
   }
 
-  private def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-  }
+  private def sha256Hex(s: String): String = IndexBuilder.sha256Hex(s)
 
   def mkDoc(i: Long, seed: Long, skew: Boolean): SourceDoc = {
     var state = mix(seed ^ (i * 0x9e3779b97f4a7c15L))

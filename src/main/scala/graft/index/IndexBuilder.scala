@@ -83,14 +83,32 @@ object IndexBuilder {
     if (m < 0) m + numSegments else m
   }
 
-  def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val d = md.digest(s.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i < d.length) { sb.append(f"${d(i)}%02x"); i += 1 }
-    sb.toString
+  // JCA getInstance does provider lookup with shared-state contention —
+  // at 32 threads it serializes the whole pipeline; thread-local reuse.
+  private val shaLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
   }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def sha256(s: String): Array[Byte] = {
+    val md = shaLocal.get()
+    md.reset()
+    md.digest(s.getBytes("UTF-8"))
+  }
+
+  def sha256Hex(s: String): String = hex(sha256(s))
 
   // growable int buffer (avoids boxing in the hot accumulation path)
   private final class IntBuf(initial: Int = 8) {
@@ -259,12 +277,10 @@ object IndexBuilder {
       val fnId = FieldNorm.fieldNormToId(nTok.toLong)
       fnorms.write(fnId & 0xff)
       numTokens += nTok
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(t.content.getBytes("UTF-8"))
+      val sha = sha256(t.content)
       var i = 0
       while (i < 32) { shaAgg(i) = (shaAgg(i) ^ sha(i)).toByte; i += 1 }
-      val shaHex = sha.map(b => f"$b%02x").mkString
-      docs += DocRow(curSeg, docId, t.repo, t.path, t.commit, t.lang, shaHex,
+      docs += DocRow(curSeg, docId, t.repo, t.path, t.commit, t.lang, hex(sha),
         nTok, fnId, t.sortKey)
     }
 
@@ -275,7 +291,7 @@ object IndexBuilder {
       val segDocs = docs
       val segPostings = postings
       val segTokens = numTokens
-      val segShaHex = shaAgg.map(b => f"$b%02x").mkString
+      val segShaHex = hex(shaAgg)
       val nDocs = segDocs.length
       val fnArr = fnorms.toByteArray
       val avgFn = if (nDocs == 0) 1.0f else segTokens.toFloat / nDocs.toFloat
