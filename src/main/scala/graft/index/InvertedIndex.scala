@@ -42,6 +42,24 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
   def queryTerms(query: String): Array[String] =
     Tokenizers.default(query).distinct.take(32)
 
+  /** Fieldnorms resident on the driver + broadcast when the corpus is
+    * small enough (1 byte/doc — 64 MB default cap). The reference keeps
+    * fieldnorm files memory-mapped per shard for serving; this is the
+    * Spark analog. Above the cap, queries fall back to cogrouping the
+    * fnorm blobs per segment (scales to any corpus, pays a shuffle). */
+  private val maxResidentFnormBytes: Long =
+    sys.env.getOrElse("GRAFT_RESIDENT_FNORM_BYTES", (64L << 20).toString).toLong
+
+  @transient private lazy val residentFnorms
+      : Option[org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]] =
+    if (stats.numDocs > maxResidentFnormBytes) None
+    else {
+      val all = fnorms.collect().groupBy(_.segment).map { case (seg, chunks) =>
+        seg -> assembleFnorms(chunks.iterator)
+      }
+      Some(spark.sparkContext.broadcast(all))
+    }
+
   /** Per-term collection document frequency (Catalyst aggregate). */
   def dfOf(terms: Seq[String]): Map[String, Long] = {
     if (terms.isEmpty) return Map.empty
@@ -84,14 +102,10 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
 
     val post = postings.filter($"term".isin(allTerms: _*))
     val postBySeg = post.groupByKey(_.segment)
-    val fnormBySeg = fnorms.groupByKey(_.segment)
 
-    val perSeg: Dataset[(String, Int, Int, Float)] =
-      postBySeg.cogroup(fnormBySeg) { (seg, ps, fs) =>
-        val plist = ps.toArray
-        if (plist.isEmpty) Iterator.empty
-        else {
-          val fnArr = assembleFnorms(fs)
+    def scoreSegment(seg: Int, plist: Array[PostingRow], fnArr: Array[Byte])
+        : Iterator[(String, Int, Int, Float)] = {
+        {
           val byTerm: Map[String, Array[PostingRow]] =
             plist.groupBy(_.term).map { case (t, rows) =>
               t -> rows.sortBy(_.shard)
@@ -136,6 +150,21 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
           }
         }
       }
+
+    val perSeg: Dataset[(String, Int, Int, Float)] = residentFnorms match {
+      case Some(bc) =>
+        postBySeg.flatMapGroups { (seg, ps) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty
+          else scoreSegment(seg, plist, bc.value(seg))
+        }
+      case None =>
+        postBySeg.cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty
+          else scoreSegment(seg, plist, assembleFnorms(fs))
+        }
+    }
 
     val collected = perSeg.collect()
     val byQid = collected.groupBy(_._1)
