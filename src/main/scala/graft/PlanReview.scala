@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index._
+
+/** Dumps formatted physical plans for the load-bearing queries so plan
+  * regressions (lost pushdown, surprise shuffles, missed broadcasts)
+  * are visible in review. Run: runMain graft.PlanReview */
+object PlanReview {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-plans")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graftplan").toString
+    IndexBuilder.build(spark, Corpus.generate(spark, 5000), dir,
+      IndexBuilder.Config(numSegments = 8))
+    val idx = new InvertedIndex(spark, dir)
+
+    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n==================== $name ====================")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+
+    // 1. posting scan for query terms: the term filter must reach the
+    //    parquet source (PushedFilters: In(term, ...))
+    show("posting scan (term pushdown)",
+      idx.postings.filter($"term".isin("spark", "session")).toDF())
+
+    // 2. collection stats: partial aggregation over the stat table
+    show("collection stats agg",
+      idx.segStats.agg(sum($"numDocs"), sum($"numTokens")).toDF())
+
+    // 3. doc resolution join: hit side must broadcast
+    val hits = spark.createDataset(Seq((0, 1, 1.0f), (1, 2, 0.5f)))
+      .toDF("segment", "docId", "score")
+    show("doc resolve (broadcast join)",
+      idx.docs.join(broadcast(hits), Seq("segment", "docId")))
+
+    // 4. relational BM25 driver query (aggregates + joins)
+    show("q_bm25_topk", SparkEntry.queries("q_bm25_topk")(spark, "/root/testdata/sf0.001"))
+
+    // 5. dedup minhash LSH (bucket join, no cartesian)
+    show("q_dedup_minhash", SparkEntry.queries("q_dedup_minhash")(spark, "/root/testdata/sf0.001"))
+
+    // latency check with resident fnorms
+    val lats = Bench.queryLatencies(spark, dir, reps = 3)
+    val s = lats.sorted
+    println(f"\nquery latency over ${lats.size} runs: p50=${s(s.size / 2)}%.4f s p95=${s((s.size * 0.95).toInt.min(s.size - 1))}%.4f s min=${s.head}%.4f s")
+    spark.stop()
+  }
+}
