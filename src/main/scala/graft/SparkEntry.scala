@@ -127,6 +127,32 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("bigram")).limit(30)
     }),
 
+    "q_phrase_match" -> ((s, d) => {
+      // relational face of PhraseQuery: adjacent-position intersection
+      val pos = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      pos.withColumn("nxt", lead("term", 1).over(w))
+        .where(col("term") === "data" && col("nxt") === "table")
+        .groupBy("doc_id").agg(count(lit(1)).as("phrase_freq"))
+        .orderBy("doc_id")
+    }),
+    "q_count_estimate" -> ((s, d) => {
+      // the reference's saturated-count estimator: N * prod(df_i / N)
+      // under term independence (collector/approx_count.rs:169-179),
+      // next to the exact intersection count
+      val tk = tokensDF(s, d)
+      val n = t(s, d, "documents").count().toDouble
+      val dfA = tk.where(col("term") === "spark").select("doc_id").distinct()
+      val dfB = tk.where(col("term") === "batch").select("doc_id").distinct()
+      val ca = dfA.count().toDouble
+      val cb = dfB.count().toDouble
+      val exact = dfA.join(dfB, "doc_id").count()
+      import s.implicits._
+      Seq((math.round(n * (ca / n) * (cb / n)), exact))
+        .toDF("estimate", "exact")
+    }),
+
     // ---- TPC-H-ish relational coverage ----
     "q1_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -345,6 +371,29 @@ object SparkEntry {
         |SELECT term || ' ' || nxt AS bigram, count(*) AS cnt
         |FROM p2 WHERE nxt IS NOT NULL
         |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30""".stripMargin,
+    "q_phrase_match" ->
+      """WITH pos AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS term,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |p2 AS (SELECT doc_id, term, pos,
+        |              LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |       FROM pos WHERE term <> '')
+        |SELECT doc_id, count(*) AS phrase_freq
+        |FROM p2 WHERE term = 'data' AND nxt = 'table'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_count_estimate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |a AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+        |b AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT round(nn.n * ((SELECT count(*) FROM a) / nn.n)
+        |                  * ((SELECT count(*) FROM b) / nn.n))::BIGINT AS estimate,
+        |       (SELECT count(*) FROM a JOIN b USING (doc_id))::BIGINT AS exact
+        |FROM nn""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

@@ -29,10 +29,16 @@ final case class PostingListData(
     bwTfs: Array[Byte],      // per full block: blockwand tf, saturated at 255
     packedDocs: Array[Byte],
     packedTfs: Array[Byte],
-    tailBytes: Array[Byte]   // vint(sorted docs) ++ vint(unsorted tfs)
+    tailBytes: Array[Byte],  // vint(sorted docs) ++ vint(unsorted tfs)
+    // term positions (phrase support; reference positions/mod.rs): per
+    // doc, tf vint-encoded gaps (first absolute); posBlockOffsets(b) =
+    // byte offset of block b's first doc (one extra entry for the tail)
+    posBytes: Array[Byte],
+    posBlockOffsets: Array[Int]
 ) {
   def numFullBlocks: Int = lastDocs.length
   def tailCount: Int = docFreq - numFullBlocks * BlockCodec.BlockSize
+  def hasPositions: Boolean = posBytes.length > 0
 }
 
 object PostingListData {
@@ -49,9 +55,43 @@ object PostingListData {
     * @param fnorms      per-doc fieldnorm ids of the segment.
     */
   def build(term: String, docs: Array[Int], tfs: Array[Int],
-            buildWeight: Bm25Weight, fnorms: Array[Byte]): PostingListData = {
+            buildWeight: Bm25Weight, fnorms: Array[Byte]): PostingListData =
+    build(term, docs, tfs, buildWeight, fnorms, null)
+
+  /** @param positionsFlat concatenated in-doc token positions, doc
+    *                      order, length == sum(tfs); null to skip. */
+  def build(term: String, docs: Array[Int], tfs: Array[Int],
+            buildWeight: Bm25Weight, fnorms: Array[Byte],
+            positionsFlat: Array[Int]): PostingListData = {
     val n = docs.length
     val numFull = n / BlockCodec.BlockSize
+    // positions: vint gap streams per doc, block-offset directory
+    val posOut = new java.io.ByteArrayOutputStream()
+    val numBlocksTotal = numFull + (if (n % BlockCodec.BlockSize > 0) 1 else 0)
+    val posOffs = if (positionsFlat == null) Array.emptyIntArray
+                  else new Array[Int](numBlocksTotal)
+    if (positionsFlat != null) {
+      var pIdx = 0
+      var d = 0
+      while (d < n) {
+        if (d % BlockCodec.BlockSize == 0) posOffs(d / BlockCodec.BlockSize) = posOut.size()
+        var prev = 0
+        var j = 0
+        while (j < tfs(d)) {
+          var v = positionsFlat(pIdx) - prev
+          prev = positionsFlat(pIdx)
+          pIdx += 1
+          var done = false
+          while (!done) {
+            val b = v & 0x7f
+            v >>>= 7
+            if (v == 0) { posOut.write(b | 0x80); done = true } else posOut.write(b)
+          }
+          j += 1
+        }
+        d += 1
+      }
+    }
     val lastDocs = new Array[Int](numFull)
     val docBits = new Array[Byte](numFull)
     val tfBits = new Array[Byte](numFull)
@@ -104,7 +144,8 @@ object PostingListData {
       tail.write(BlockCodec.vintUnsorted(tt, tailN))
     }
     PostingListData(term, n, 0, lastDocs, docBits, tfBits, bwFn, bwTf,
-      docsOut.toByteArray, tfsOut.toByteArray, tail.toByteArray)
+      docsOut.toByteArray, tfsOut.toByteArray, tail.toByteArray,
+      posOut.toByteArray, posOffs)
   }
 }
 
@@ -128,6 +169,9 @@ trait TermCursor {
     * tolerance in its proptest, block_wand.rs:335-337; fixed-order
     * summation is strictly stronger). */
   var ord: Int = -1
+  /** Token positions of the term in the current doc (phrase support). */
+  def positions: Array[Int] =
+    throw new UnsupportedOperationException("positions not recorded")
 }
 
 /** Cursor over one posting list — the analog of the reference's
@@ -264,6 +308,54 @@ final class PostingsCursor(val data: PostingListData, fnorms: Array[Byte],
   def fieldNormId: Byte = fnorms(curDoc)
   def score: Float = queryWeight.score(fieldNormId, termFreq)
   def docFreq: Int = data.docFreq
+
+  // ---- positions (phrase support) ----
+  private var posOffsets: Array[Int] = null // byte offset per doc of loaded block
+  private var posLoadedFor = -1
+
+  private def ensurePosOffsets(): Unit = {
+    if (posLoadedFor == loadedIdx) return
+    require(data.hasPositions, s"no positions recorded for term '${data.term}'")
+    if (posOffsets == null) posOffsets = new Array[Int](BlockCodec.BlockSize)
+    var off = data.posBlockOffsets(loadedIdx)
+    var i = 0
+    while (i < blockLen) {
+      posOffsets(i) = off
+      // skip tf vint-encoded gaps
+      var j = 0
+      while (j < blockTfs(i)) {
+        while ((data.posBytes(off) & 0x80) == 0) off += 1
+        off += 1
+        j += 1
+      }
+      i += 1
+    }
+    posLoadedFor = loadedIdx
+  }
+
+  /** Token positions of the term in the current doc (ascending). */
+  override def positions: Array[Int] = {
+    ensurePosOffsets()
+    val tf = blockTfs(idx)
+    val out = new Array[Int](tf)
+    var off = posOffsets(idx)
+    var acc = 0
+    var j = 0
+    while (j < tf) {
+      var v = 0
+      var shift = 0
+      var done = false
+      while (!done) {
+        val b = data.posBytes(off); off += 1
+        v += (b & 0x7f) << shift
+        if ((b & 0x80) != 0) done = true else shift += 7
+      }
+      acc += v
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
 }
 
 /** Chains docId-range shards of one hot term (skew handling: a term whose
@@ -340,4 +432,5 @@ final class ChainedCursor(shards: Array[PostingsCursor]) extends TermCursor {
   }
 
   def score: Float = shards(cur).score
+  override def positions: Array[Int] = shards(cur).positions
 }

@@ -42,7 +42,8 @@ object IndexBuilder {
       numSegments: Int = 8,
       maxPostingsPerShard: Int = 1 << 20,
       fnormChunkSize: Int = 1 << 23,
-      segmentsPerBatch: Int = 1 << 16)
+      segmentsPerBatch: Int = 1 << 16,
+      recordPositions: Boolean = true)
 
   final case class BuildReport(numDocs: Long, numTokens: Long,
                                segmentsBuilt: Int, segmentsSkipped: Int,
@@ -124,6 +125,7 @@ object IndexBuilder {
   private final class PostBuf {
     val docs = new IntBuf(4)
     val tfs = new IntBuf(4)
+    var pos: IntBuf = null // token positions, doc-order concatenated
   }
 
   def manifestDir(outDir: String) = s"$outDir/manifest"
@@ -196,13 +198,14 @@ object IndexBuilder {
                     cfg: Config): Unit = {
     val maxShard = cfg.maxPostingsPerShard
     val fnChunk = cfg.fnormChunkSize
+    val recordPos = cfg.recordPositions
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
       .sortWithinPartitions(col("segment"), col("sortKey").desc,
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
-        new SegmentEmitter(it, maxShard, fnChunk)
+        new SegmentEmitter(it, maxShard, fnChunk, recordPos)
       }
       .write.mode(SaveMode.Append).partitionBy("kind")
       .parquet(dataDir(outDir))
@@ -220,7 +223,7 @@ object IndexBuilder {
   /** Streams a sorted partition, building one segment at a time fully
     * in RAM and flushing it as doc/fnorm/posting/stat rows. */
   private final class SegmentEmitter(it: Iterator[Tagged], maxShard: Int,
-                                     fnChunk: Int)
+                                     fnChunk: Int, recordPositions: Boolean)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
@@ -263,16 +266,46 @@ object IndexBuilder {
 
     private def addDoc(t: Tagged): Unit = {
       val docId = docs.length
-      val tf = Tokenizers.termFreqs(t.content)
-      var nTok = 0
-      val eit = tf.entrySet().iterator()
-      while (eit.hasNext) {
-        val e = eit.next()
-        nTok += e.getValue
-        var pb = postings.get(e.getKey)
-        if (pb == null) { pb = new PostBuf; postings.put(e.getKey, pb) }
-        pb.docs.add(docId)
-        pb.tfs.add(e.getValue)
+      val toks = Tokenizers.default(t.content)
+      val nTok = toks.length
+      if (recordPositions) {
+        // per-doc positions per term, appended to the segment buffers
+        val perDoc = new java.util.HashMap[String, IntBuf]()
+        var p = 0
+        while (p < nTok) {
+          var b = perDoc.get(toks(p))
+          if (b == null) { b = new IntBuf(2); perDoc.put(toks(p), b) }
+          b.add(p)
+          p += 1
+        }
+        val eit = perDoc.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          var pb = postings.get(e.getKey)
+          if (pb == null) {
+            pb = new PostBuf; pb.pos = new IntBuf(4); postings.put(e.getKey, pb)
+          }
+          pb.docs.add(docId)
+          pb.tfs.add(e.getValue.n)
+          var j = 0
+          while (j < e.getValue.n) { pb.pos.add(e.getValue.arr(j)); j += 1 }
+        }
+      } else {
+        val tf = new java.util.HashMap[String, Int](nTok * 2)
+        var p = 0
+        while (p < nTok) {
+          val tk = toks(p)
+          tf.put(tk, tf.getOrDefault(tk, 0) + 1)
+          p += 1
+        }
+        val eit = tf.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          var pb = postings.get(e.getKey)
+          if (pb == null) { pb = new PostBuf; postings.put(e.getKey, pb) }
+          pb.docs.add(docId)
+          pb.tfs.add(e.getValue)
+        }
       }
       val fnId = FieldNorm.fieldNormToId(nTok.toLong)
       fnorms.write(fnId & 0xff)
@@ -316,17 +349,23 @@ object IndexBuilder {
         val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, avgFn)
         val dArr = pb.docs.toArray
         val tArr = pb.tfs.toArray
+        val pArr = if (pb.pos == null) null else pb.pos.toArray
         if (df <= maxShard) {
-          val pl = PostingListData.build(term, dArr, tArr, w, fnArr)
+          val pl = PostingListData.build(term, dArr, tArr, w, fnArr, pArr)
           Iterator.single(BuildRow("posting", seg, None,
             Some(PostingRow.from(seg, 0, 0, pl)), None, None))
         } else {
           // hot-term sharding: bound row size and per-task query memory
+          val tfCum = new Array[Int](df + 1) // position-stream offsets
+          locally { var i = 0
+            while (i < df) { tfCum(i + 1) = tfCum(i) + tArr(i); i += 1 } }
           (0 until df by maxShard).iterator.zipWithIndex.map { case (off, sh) =>
             val end = math.min(off + maxShard, df)
+            val pSlice = if (pArr == null) null
+              else java.util.Arrays.copyOfRange(pArr, tfCum(off), tfCum(end))
             val pl = PostingListData.build(term,
               java.util.Arrays.copyOfRange(dArr, off, end),
-              java.util.Arrays.copyOfRange(tArr, off, end), w, fnArr)
+              java.util.Arrays.copyOfRange(tArr, off, end), w, fnArr, pSlice)
             BuildRow("posting", seg, None,
               Some(PostingRow.from(seg, sh, 0, pl)), None, None)
           }

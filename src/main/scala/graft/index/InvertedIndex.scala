@@ -88,7 +88,10 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
   def searchBatchRaw(queries: Seq[(String, String, Int, String, Seq[String])])
       : Map[String, Array[(Int, Int, Float)]] = {
     val plans = queries.map { case (qid, q, k, mode, minus) =>
-      (qid, queryTerms(q), k, mode, minus.flatMap(queryTerms).distinct)
+      // phrase queries keep token order and duplicates ("the the")
+      val terms = if (mode == "phrase") Tokenizers.default(q).take(32).toSeq
+                  else queryTerms(q).toSeq
+      (qid, terms, k, mode, minus.flatMap(queryTerms).distinct)
     }
     val allTerms = plans.flatMap(p => p._2 ++ p._5).distinct
     if (allTerms.isEmpty || stats.numDocs == 0) return plans.map(p => p._1 -> Array.empty[(Int, Int, Float)]).toMap
@@ -134,6 +137,16 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
               }
               val topk = new TopK(k)
               mode match {
+                case "phrase" =>
+                  // every occurrence needs its own cursor; a term absent
+                  // from this segment means no phrase match here
+                  if (cs.length == terms.length) {
+                    var wsum = 0.0f
+                    terms.foreach(t => wsum += bWeights.value(t))
+                    val pw = new Bm25Weight(wsum, avgFn)
+                    Phrase.run(cs, pw, fnArr,
+                      (d, _, s) => if (!excluded(d)) topk.push(d, s))
+                  }
                 case "and" =>
                   BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
                 case "exhaustive" =>

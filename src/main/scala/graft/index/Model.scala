@@ -22,17 +22,19 @@ final case class PostingRow(segment: Int, term: String, shard: Int,
                             lastDocs: Array[Int], docBits: Array[Byte],
                             tfBits: Array[Byte], bwFnormIds: Array[Byte],
                             bwTfs: Array[Byte], packedDocs: Array[Byte],
-                            packedTfs: Array[Byte], tailBytes: Array[Byte]) {
+                            packedTfs: Array[Byte], tailBytes: Array[Byte],
+                            posBytes: Array[Byte], posBlockOffsets: Array[Int]) {
   def toData: PostingListData =
     PostingListData(term, docFreq, docIdBase, lastDocs, docBits, tfBits,
-      bwFnormIds, bwTfs, packedDocs, packedTfs, tailBytes)
+      bwFnormIds, bwTfs, packedDocs, packedTfs, tailBytes, posBytes,
+      posBlockOffsets)
 }
 
 object PostingRow {
   def from(segment: Int, shard: Int, docIdBase: Int, d: PostingListData): PostingRow =
     PostingRow(segment, d.term, shard, d.docFreq, docIdBase, d.lastDocs,
       d.docBits, d.tfBits, d.bwFnormIds, d.bwTfs, d.packedDocs, d.packedTfs,
-      d.tailBytes)
+      d.tailBytes, d.posBytes, d.posBlockOffsets)
 }
 
 /** Per-segment fieldnorm ids, chunked so no parquet row exceeds ~8 MiB

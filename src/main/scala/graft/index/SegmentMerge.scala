@@ -172,36 +172,51 @@ object SegmentMerge {
           val term = buf.head.term
           val docs = new java.util.ArrayList[Array[Int]]
           val tfs = new java.util.ArrayList[Array[Int]]
+          val poss = new java.util.ArrayList[Array[Int]]
           var df = 0
+          var nPos = 0
+          var anyPos = false
           while (buf.hasNext && buf.head.segment == seg && buf.head.term == term) {
             val row = buf.next()
             val p = row.posting.get
             val base = bases(row.oldSeg)
-            val (d, t) = decodeAll(p, base)
-            docs.add(d); tfs.add(t); df += d.length
+            val (d, t, ps) = decodeAll(p, base)
+            docs.add(d); tfs.add(t); poss.add(ps); df += d.length
+            if (ps != null) { anyPos = true; nPos += ps.length }
           }
           numTerms += 1
           val allD = new Array[Int](df)
           val allT = new Array[Int](df)
+          val allP = if (anyPos) new Array[Int](nPos) else null
           var off = 0
+          var pOff = 0
           var i = 0
           while (i < docs.size) {
             System.arraycopy(docs.get(i), 0, allD, off, docs.get(i).length)
             System.arraycopy(tfs.get(i), 0, allT, off, tfs.get(i).length)
+            if (anyPos) {
+              System.arraycopy(poss.get(i), 0, allP, pOff, poss.get(i).length)
+              pOff += poss.get(i).length
+            }
             off += docs.get(i).length
             i += 1
           }
           val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, avgFn)
           if (df <= maxShard) {
-            val pl = PostingListData.build(term, allD, allT, w, fnArr)
+            val pl = PostingListData.build(term, allD, allT, w, fnArr, allP)
             Iterator.single(IndexBuilder.BuildRow("posting", seg, None,
               Some(PostingRow.from(seg, 0, 0, pl)), None, None))
           } else {
+            val tfCum = new Array[Int](df + 1)
+            locally { var q = 0
+              while (q < df) { tfCum(q + 1) = tfCum(q) + allT(q); q += 1 } }
             (0 until df by maxShard).iterator.zipWithIndex.map { case (o, sh) =>
               val end = math.min(o + maxShard, df)
+              val pSlice = if (allP == null) null
+                else java.util.Arrays.copyOfRange(allP, tfCum(o), tfCum(end))
               val pl = PostingListData.build(term,
                 java.util.Arrays.copyOfRange(allD, o, end),
-                java.util.Arrays.copyOfRange(allT, o, end), w, fnArr)
+                java.util.Arrays.copyOfRange(allT, o, end), w, fnArr, pSlice)
               IndexBuilder.BuildRow("posting", seg, None,
                 Some(PostingRow.from(seg, sh, 0, pl)), None, None)
             }
@@ -221,8 +236,9 @@ object SegmentMerge {
       fnRows ++ postRows ++ statRow
     }
 
-    /** Decode a whole posting row into (docs+base, tfs). */
-    private def decodeAll(p: PostingRow, base: Int): (Array[Int], Array[Int]) = {
+    /** Decode a whole posting row into (docs+base, tfs, positions|null). */
+    private def decodeAll(p: PostingRow, base: Int)
+        : (Array[Int], Array[Int], Array[Int]) = {
       val data = p.toData
       val n = data.docFreq
       val d = new Array[Int](n)
@@ -260,7 +276,36 @@ object SegmentMerge {
           out += 1; i += 1
         }
       }
-      (d, t)
+      // positions: sequential vint gap decode across all docs
+      var ps: Array[Int] = null
+      if (data.hasPositions) {
+        var total = 0
+        var q = 0
+        while (q < n) { total += t(q); q += 1 }
+        ps = new Array[Int](total)
+        var off = 0
+        var o = 0
+        q = 0
+        while (q < n) {
+          var acc = 0
+          var j = 0
+          while (j < t(q)) {
+            var v = 0
+            var shift = 0
+            var done = false
+            while (!done) {
+              val b2 = data.posBytes(off); off += 1
+              v += (b2 & 0x7f) << shift
+              if ((b2 & 0x80) != 0) done = true else shift += 7
+            }
+            acc += v
+            ps(o) = acc
+            o += 1; j += 1
+          }
+          q += 1
+        }
+      }
+      (d, t, ps)
     }
   }
 }

@@ -123,6 +123,39 @@ class IndexPipelineSpec extends AnyFunSuite {
     assert(negSet == expectNeg)
   }
 
+  test("phrase search matches brute-force positions scan") {
+    import graft.core.{Bm25, Bm25Weight, FieldNorm, Tokenizers}
+    val phrases = Seq("spark session", "the license", "data data",
+      "query engine block", "table the")
+    val N = index.stats.numDocs
+    val avgFn = index.stats.avgFieldNorm
+    phrases.foreach { p =>
+      val ptoks = Tokenizers.default(p).toSeq
+      val dfs = index.dfOf(ptoks.distinct)
+      // expected: same float summation order as the engine
+      var wsum = 0.0f
+      ptoks.foreach(t => wsum += Bm25.idf(dfs(t), N) * (1.0f + Bm25.K1))
+      val pw = new Bm25Weight(wsum, avgFn)
+      val want = corpus.collect().flatMap { d =>
+        val toks = Tokenizers.default(d.content)
+        var freq = 0
+        var i = 0
+        while (i + ptoks.length <= toks.length) {
+          var k = 0
+          while (k < ptoks.length && toks(i + k) == ptoks(k)) k += 1
+          if (k == ptoks.length) freq += 1
+          i += 1
+        }
+        if (freq == 0) None
+        else Some((d.repo, d.path,
+          pw.score(FieldNorm.fieldNormToId(toks.length.toLong), freq)))
+      }.toSet
+      val got = index.search(p, 100000, "phrase")
+        .map(h => (h.repo, h.path, h.score)).toSet
+      assert(got == want, s"phrase '$p': got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("hot-term sharding produces identical results") {
     val d2 = tmpDir()
     IndexBuilder.build(spark, corpus, d2,

@@ -44,6 +44,12 @@ class SegmentMergeSpec extends AnyFunSuite {
       val b = merged.search(q, 20, "or").map(h => (h.repo, h.path, h.score)).toSet
       assert(a == b, s"fanIn=$fanIn query '$q'")
     }
+    // positions survive the merge: phrase results identical
+    Seq("the license", "spark session").foreach { p =>
+      val a = srcIdx.search(p, 1000, "phrase").map(h => (h.repo, h.path, h.score)).toSet
+      val b = merged.search(p, 1000, "phrase").map(h => (h.repo, h.path, h.score)).toSet
+      assert(a == b, s"fanIn=$fanIn phrase '$p'")
+    }
     // doc table integrity: every (repo, path) still present exactly once
     import spark.implicits._
     assert(merged.docs.map(d => (d.repo, d.path)).distinct().count() == 600)
