@@ -43,7 +43,9 @@ object IndexBuilder {
       maxPostingsPerShard: Int = 1 << 20,
       fnormChunkSize: Int = 1 << 23,
       segmentsPerBatch: Int = 1 << 16,
-      recordPositions: Boolean = true)
+      recordPositions: Boolean = true,
+      indexStemmed: Boolean = false,
+      indexBigrams: Boolean = false)
 
   final case class BuildReport(numDocs: Long, numTokens: Long,
                                segmentsBuilt: Int, segmentsSkipped: Int,
@@ -199,13 +201,15 @@ object IndexBuilder {
     val maxShard = cfg.maxPostingsPerShard
     val fnChunk = cfg.fnormChunkSize
     val recordPos = cfg.recordPositions
+    val stemmedF = cfg.indexStemmed
+    val bigramF = cfg.indexBigrams
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
       .sortWithinPartitions(col("segment"), col("sortKey").desc,
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
-        new SegmentEmitter(it, maxShard, fnChunk, recordPos)
+        new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF)
       }
       .write.mode(SaveMode.Append).partitionBy("kind")
       .parquet(dataDir(outDir))
@@ -223,13 +227,15 @@ object IndexBuilder {
   /** Streams a sorted partition, building one segment at a time fully
     * in RAM and flushing it as doc/fnorm/posting/stat rows. */
   private final class SegmentEmitter(it: Iterator[Tagged], maxShard: Int,
-                                     fnChunk: Int, recordPositions: Boolean)
+                                     fnChunk: Int, recordPositions: Boolean,
+                                     indexStemmed: Boolean, indexBigrams: Boolean)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
     private var t0 = 0L
     private var docs = new scala.collection.mutable.ArrayBuffer[DocRow]
     private var fnorms = new java.io.ByteArrayOutputStream()
+    private var fnormsBigram = new java.io.ByteArrayOutputStream()
     private var postings = new java.util.HashMap[String, PostBuf]()
     private var numTokens = 0L
     private var shaAgg = new Array[Byte](32)
@@ -259,9 +265,24 @@ object IndexBuilder {
       t0 = System.nanoTime()
       docs = new scala.collection.mutable.ArrayBuffer[DocRow]
       fnorms = new java.io.ByteArrayOutputStream()
+      fnormsBigram = new java.io.ByteArrayOutputStream()
       postings = new java.util.HashMap[String, PostBuf]()
       numTokens = 0L
       shaAgg = new Array[Byte](32)
+    }
+
+    /** Visit every indexed (term, position) of a doc: the content field
+      * plus the stemmed / bigram shadow fields (reference field
+      * expansion: each field is its own term space). */
+    @inline private def forEachTerm(toks: Array[String])(f: (String, Int) => Unit): Unit = {
+      var p = 0
+      while (p < toks.length) {
+        f(toks(p), p)
+        if (indexStemmed) f(Fields.stemTerm(toks(p)), p)
+        if (indexBigrams && p + 1 < toks.length)
+          f(Fields.bigramTerm(toks(p), toks(p + 1)), p)
+        p += 1
+      }
     }
 
     private def addDoc(t: Tagged): Unit = {
@@ -271,12 +292,10 @@ object IndexBuilder {
       if (recordPositions) {
         // per-doc positions per term, appended to the segment buffers
         val perDoc = new java.util.HashMap[String, IntBuf]()
-        var p = 0
-        while (p < nTok) {
-          var b = perDoc.get(toks(p))
-          if (b == null) { b = new IntBuf(2); perDoc.put(toks(p), b) }
+        forEachTerm(toks) { (term, p) =>
+          var b = perDoc.get(term)
+          if (b == null) { b = new IntBuf(2); perDoc.put(term, b) }
           b.add(p)
-          p += 1
         }
         val eit = perDoc.entrySet().iterator()
         while (eit.hasNext) {
@@ -292,11 +311,8 @@ object IndexBuilder {
         }
       } else {
         val tf = new java.util.HashMap[String, Int](nTok * 2)
-        var p = 0
-        while (p < nTok) {
-          val tk = toks(p)
-          tf.put(tk, tf.getOrDefault(tk, 0) + 1)
-          p += 1
+        forEachTerm(toks) { (term, _) =>
+          tf.put(term, tf.getOrDefault(term, 0) + 1)
         }
         val eit = tf.entrySet().iterator()
         while (eit.hasNext) {
@@ -309,6 +325,8 @@ object IndexBuilder {
       }
       val fnId = FieldNorm.fieldNormToId(nTok.toLong)
       fnorms.write(fnId & 0xff)
+      if (indexBigrams)
+        fnormsBigram.write(FieldNorm.fieldNormToId(math.max(nTok - 1, 0).toLong) & 0xff)
       numTokens += nTok
       val sha = sha256(t.content)
       var i = 0
@@ -337,21 +355,36 @@ object IndexBuilder {
 
       val docRows = segDocs.iterator.map(d =>
         BuildRow("doc", seg, Some(d), None, None, None))
+      val bigramFnArr = fnormsBigram.toByteArray
       val fnRows = (0 until nDocs by fnChunk).iterator.map { off =>
         val end = math.min(off + fnChunk, nDocs)
         BuildRow("fnorm", seg, None, None,
           Some(FnormRow(seg, off / fnChunk, end - off,
             java.util.Arrays.copyOfRange(fnArr, off, end))), None)
-      }
+      } ++ (if (bigramFnArr.isEmpty) Iterator.empty
+            else (0 until nDocs by fnChunk).iterator.map { off =>
+        val end = math.min(off + fnChunk, nDocs)
+        BuildRow("fnorm", seg, None, None,
+          Some(FnormRow(seg,
+            (Fields.Bigram << Fields.FnormFieldShift) | (off / fnChunk),
+            end - off,
+            java.util.Arrays.copyOfRange(bigramFnArr, off, end))), None)
+      })
       val postRows = terms.iterator.flatMap { term =>
         val pb = segPostings.get(term)
         val df = pb.docs.n
-        val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, avgFn)
+        // shadow fields score against their own fieldnorms + averages
+        val field = Fields.fieldOf(term)
+        val termAvg = if (field == Fields.Bigram && nDocs > 0)
+          (segTokens - nDocs).toFloat / nDocs.toFloat else avgFn
+        val termFn = if (Fields.fnormFieldOf(field) == Fields.Bigram)
+          bigramFnArr else fnArr
+        val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, termAvg)
         val dArr = pb.docs.toArray
         val tArr = pb.tfs.toArray
         val pArr = if (pb.pos == null) null else pb.pos.toArray
         if (df <= maxShard) {
-          val pl = PostingListData.build(term, dArr, tArr, w, fnArr, pArr)
+          val pl = PostingListData.build(term, dArr, tArr, w, termFn, pArr)
           Iterator.single(BuildRow("posting", seg, None,
             Some(PostingRow.from(seg, 0, 0, pl)), None, None))
         } else {
@@ -365,7 +398,7 @@ object IndexBuilder {
               else java.util.Arrays.copyOfRange(pArr, tfCum(off), tfCum(end))
             val pl = PostingListData.build(term,
               java.util.Arrays.copyOfRange(dArr, off, end),
-              java.util.Arrays.copyOfRange(tArr, off, end), w, fnArr, pSlice)
+              java.util.Arrays.copyOfRange(tArr, off, end), w, termFn, pSlice)
             BuildRow("posting", seg, None,
               Some(PostingRow.from(seg, sh, 0, pl)), None, None)
           }

@@ -51,7 +51,7 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     sys.env.getOrElse("GRAFT_RESIDENT_FNORM_BYTES", (64L << 20).toString).toLong
 
   @transient private lazy val residentFnorms
-      : Option[org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]] =
+      : Option[org.apache.spark.broadcast.Broadcast[Map[Int, Map[Int, Array[Byte]]]]] =
     if (stats.numDocs > maxResidentFnormBytes) None
     else {
       val all = fnorms.collect().groupBy(_.segment).map { case (seg, chunks) =>
@@ -87,10 +87,19 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     * queries x segments fan-out, per-segment top-k, driver merge. */
   def searchBatchRaw(queries: Seq[(String, String, Int, String, Seq[String])])
       : Map[String, Array[(Int, Int, Float)]] = {
-    val plans = queries.map { case (qid, q, k, mode, minus) =>
-      // phrase queries keep token order and duplicates ("the the")
-      val terms = if (mode == "phrase") Tokenizers.default(q).take(32).toSeq
-                  else queryTerms(q).toSeq
+    val plans = queries.map { case (qid, q, k, mode0, minus) =>
+      // "<mode>+" = field-expanded: each term ORs with its stemmed form,
+      // adjacent pairs add compound bigram terms (the reference's field
+      // expansion + compound augmentation, plan/node.rs:104-127 +
+      // plan/mod.rs:235-300)
+      val expanded = mode0.endsWith("+")
+      val mode = if (expanded) mode0.dropRight(1) else mode0
+      val terms: Seq[String] =
+        if (mode == "phrase") Tokenizers.default(q).take(32).toSeq
+        else if (expanded)
+          Fields.expand(Tokenizers.default(q).take(16).toSeq,
+            stemmed = true, bigrams = true)
+        else queryTerms(q).toSeq
       (qid, terms, k, mode, minus.flatMap(queryTerms).distinct)
     }
     val allTerms = plans.flatMap(p => p._2 ++ p._5).distinct
@@ -106,7 +115,12 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     val post = postings.filter($"term".isin(allTerms: _*))
     val postBySeg = post.groupByKey(_.segment)
 
-    def scoreSegment(seg: Int, plist: Array[PostingRow], fnArr: Array[Byte])
+    val bigramAvg = if (stats.numDocs > 0)
+      (stats.numTokens - stats.numDocs).toFloat / stats.numDocs.toFloat
+    else 1.0f
+
+    def scoreSegment(seg: Int, plist: Array[PostingRow],
+                     fnArrs: Map[Int, Array[Byte]])
         : Iterator[(String, Int, Int, Float)] = {
         {
           val byTerm: Map[String, Array[PostingRow]] =
@@ -115,11 +129,14 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
             }
           def cursor(term: String): Option[TermCursor] =
             byTerm.get(term).map { rows =>
-              val wt = new Bm25Weight(bWeights.value(term), avgFn)
+              val field = Fields.fieldOf(term)
+              val av = if (field == Fields.Bigram) bigramAvg else avgFn
+              val fnA = fnArrs(Fields.fnormFieldOf(field))
+              val wt = new Bm25Weight(bWeights.value(term), av)
               if (rows.length == 1)
-                new PostingsCursor(rows(0).toData, fnArr, wt)
+                new PostingsCursor(rows(0).toData, fnA, wt)
               else
-                new ChainedCursor(rows.map(r => new PostingsCursor(r.toData, fnArr, wt)))
+                new ChainedCursor(rows.map(r => new PostingsCursor(r.toData, fnA, wt)))
             }
           bPlans.value.iterator.flatMap { case (qid, terms, k, mode, minus) =>
             val cs = terms.flatMap(t => cursor(t))
@@ -144,7 +161,7 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
                     var wsum = 0.0f
                     terms.foreach(t => wsum += bWeights.value(t))
                     val pw = new Bm25Weight(wsum, avgFn)
-                    Phrase.run(cs, pw, fnArr,
+                    Phrase.run(cs, pw, fnArrs(Fields.Content),
                       (d, _, s) => if (!excluded(d)) topk.push(d, s))
                   }
                 case "and" =>
@@ -191,16 +208,20 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     }.toMap
   }
 
-  private def assembleFnorms(fs: Iterator[FnormRow]): Array[Byte] = {
-    val chunks = fs.toArray.sortBy(_.chunk)
-    val total = chunks.map(_.numDocs).sum
-    val out = new Array[Byte](total)
-    var off = 0
-    chunks.foreach { c =>
-      System.arraycopy(c.fnorms, 0, out, off, c.numDocs)
-      off += c.numDocs
+  /** Per-field fnorm arrays of one segment (chunk encodes the field in
+    * its high bits; see Fields). */
+  private def assembleFnorms(fs: Iterator[FnormRow]): Map[Int, Array[Byte]] = {
+    fs.toArray.groupBy(_.chunk >> Fields.FnormFieldShift).map { case (field, rows) =>
+      val chunks = rows.sortBy(_.chunk)
+      val total = chunks.map(_.numDocs).sum
+      val out = new Array[Byte](total)
+      var off = 0
+      chunks.foreach { c =>
+        System.arraycopy(c.fnorms, 0, out, off, c.numDocs)
+        off += c.numDocs
+      }
+      field -> out
     }
-    out
   }
 
   /** Resolve raw hits against the doc table (broadcast hash join on the

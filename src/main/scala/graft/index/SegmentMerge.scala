@@ -77,9 +77,13 @@ object SegmentMerge {
     }.write.mode(SaveMode.Append).partitionBy("kind")
       .parquet(IndexBuilder.dataDir(outDir))
 
-    // 2) fnorms + postings: one term-sorted shuffle per merged segment
+    // 2) fnorms + postings: one term-sorted shuffle per merged segment.
+    // fnorm rows sort by (field, oldSeg, chunk) via the term slot so
+    // per-field arrays concatenate correctly.
     val fnRows = in.fnorms.map(f =>
-      MergeRow(newSegOf(f.segment), 0, "", f.segment, f.chunk, None, Some(f)))
+      MergeRow(newSegOf(f.segment), 0,
+        f"${f.chunk >> Fields.FnormFieldShift}%03d", f.segment, f.chunk,
+        None, Some(f)))
     val postRows = in.postings.map(p =>
       MergeRow(newSegOf(p.segment), 1, p.term, p.segment, p.shard, Some(p), None))
     val parts = math.max(spark.sparkContext.defaultParallelism,
@@ -140,21 +144,34 @@ object SegmentMerge {
       val nDocs = nDocs64.toInt
       val avgFn = if (nDocs == 0) 1.0f else nTokens.toFloat / nDocs.toFloat
 
-      // fieldnorms: kindOrder 0 rows, sorted by (oldSeg, chunk); bases
-      // are ascending with oldSeg so plain concatenation is the remap
-      val fnOut = new java.io.ByteArrayOutputStream(nDocs)
+      // fieldnorms: kindOrder 0 rows, sorted by (field, oldSeg, chunk);
+      // bases are ascending with oldSeg so per-field concatenation is
+      // the remap
+      val fnStreams = new java.util.TreeMap[Int, java.io.ByteArrayOutputStream]()
       while (buf.hasNext && buf.head.segment == seg && buf.head.kindOrder == 0) {
         val f = buf.next().fnorm.get
-        fnOut.write(f.fnorms, 0, f.numDocs)
+        val field = f.chunk >> Fields.FnormFieldShift
+        var s = fnStreams.get(field)
+        if (s == null) { s = new java.io.ByteArrayOutputStream(nDocs); fnStreams.put(field, s) }
+        s.write(f.fnorms, 0, f.numDocs)
       }
-      val fnArr = fnOut.toByteArray
+      val fnArrs: Map[Int, Array[Byte]] = {
+        val b = Map.newBuilder[Int, Array[Byte]]
+        fnStreams.forEach((k, v) => b += (k.toInt -> v.toByteArray))
+        b.result()
+      }
+      val fnArr = fnArrs(Fields.Content)
       require(fnArr.length == nDocs, s"fnorm length ${fnArr.length} != $nDocs docs in merged seg $seg")
+      val bigramAvg = if (nDocs > 0) (nTokens - nDocs).toFloat / nDocs.toFloat else 1.0f
 
-      val fnRows = (0 until nDocs by fnChunk).iterator.map { off =>
-        val end = math.min(off + fnChunk, nDocs)
-        IndexBuilder.BuildRow("fnorm", seg, None, None,
-          Some(FnormRow(seg, off / fnChunk,
-            end - off, java.util.Arrays.copyOfRange(fnArr, off, end))), None)
+      val fnRows = fnArrs.iterator.flatMap { case (field, arr) =>
+        (0 until arr.length by fnChunk).iterator.map { off =>
+          val end = math.min(off + fnChunk, arr.length)
+          IndexBuilder.BuildRow("fnorm", seg, None, None,
+            Some(FnormRow(seg,
+              (field << Fields.FnormFieldShift) | (off / fnChunk),
+              end - off, java.util.Arrays.copyOfRange(arr, off, end))), None)
+        }
       }
 
       var numTerms = 0L
@@ -201,9 +218,12 @@ object SegmentMerge {
             off += docs.get(i).length
             i += 1
           }
-          val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, avgFn)
+          val field = Fields.fieldOf(term)
+          val termAvg = if (field == Fields.Bigram) bigramAvg else avgFn
+          val termFn = fnArrs.getOrElse(Fields.fnormFieldOf(field), fnArr)
+          val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, termAvg)
           if (df <= maxShard) {
-            val pl = PostingListData.build(term, allD, allT, w, fnArr, allP)
+            val pl = PostingListData.build(term, allD, allT, w, termFn, allP)
             Iterator.single(IndexBuilder.BuildRow("posting", seg, None,
               Some(PostingRow.from(seg, 0, 0, pl)), None, None))
           } else {
@@ -216,7 +236,7 @@ object SegmentMerge {
                 else java.util.Arrays.copyOfRange(allP, tfCum(o), tfCum(end))
               val pl = PostingListData.build(term,
                 java.util.Arrays.copyOfRange(allD, o, end),
-                java.util.Arrays.copyOfRange(allT, o, end), w, fnArr, pSlice)
+                java.util.Arrays.copyOfRange(allT, o, end), w, termFn, pSlice)
               IndexBuilder.BuildRow("posting", seg, None,
                 Some(PostingRow.from(seg, sh, 0, pl)), None, None)
             }
