@@ -247,4 +247,99 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     val hits = search(query, k, mode)
     spark.createDataFrame(hits.toSeq)
   }
+
+  /** Term-dictionary scan: all distinct terms matching a predicate
+    * pushed down to the posting scan (the FST-automaton analog:
+    * reference phrase_prefix/fuzzy/regex queries expand to term sets,
+    * automaton_weight.rs). Capped like the reference's expansions. */
+  def termsWhere(pred: org.apache.spark.sql.Column, cap: Int = 64): Seq[String] =
+    postings.filter(pred).select($"term").distinct()
+      .orderBy($"term").limit(cap).collect().map(_.getString(0)).toSeq
+
+  /** Prefix query: OR-WAND over all terms starting with `prefix`
+    * (reference PhrasePrefixQuery's term-expansion path). */
+  def searchPrefix(prefix: String, k: Int, cap: Int = 64): Array[(Int, Int, Float)] = {
+    val terms = termsWhere($"term".startsWith(prefix), cap)
+    if (terms.isEmpty) return Array.empty
+    searchBatchRaw(Seq(("q", terms.mkString(" "), k, "or", Nil)))("q")
+  }
+
+  /** Set query (reference set_query.rs): OR over an explicit term set. */
+  def searchTermSet(terms: Seq[String], k: Int): Array[(Int, Int, Float)] =
+    searchBatchRaw(Seq(("q", terms.mkString(" "), k, "or", Nil)))("q")
+
+  /** Approximate budgeted search (the ShortCircuitQuery + max-docs
+    * path, reference shortcircuit.rs + top_docs.rs:100-124): each
+    * segment stops scoring after `maxDocsPerSegment` matching docs.
+    * Because doc ids are precomputed-score-sorted within a segment
+    * (the index-wide invariant), the truncated prefix is the
+    * highest-static-rank slice. Returns (hits, matchCount, saturated);
+    * when saturated, matchCount is the term-independence estimate
+    * N * prod(df_i / N) (approx_count.rs:169-179). */
+  def searchApprox(query: String, k: Int, maxDocsPerSegment: Int)
+      : (Array[(Int, Int, Float)], Long, Boolean) = {
+    val terms = queryTerms(query)
+    if (terms.isEmpty || stats.numDocs == 0) return (Array.empty, 0L, false)
+    val dfs = dfOf(terms.toSeq)
+    val N = stats.numDocs
+    val avgFn = stats.avgFieldNorm
+    val weights = dfs.map { case (t, df) => t -> (Bm25.idf(df, N) * (1.0f + Bm25.K1)) }
+    val bW = spark.sparkContext.broadcast(weights)
+    val post = postings.filter($"term".isin(terms.toSeq: _*))
+    val budget = maxDocsPerSegment
+    val fnormsBc = residentFnorms
+    val perSeg: Array[(Int, Int, Float, Int, Boolean)] = (fnormsBc match {
+      case Some(bc) =>
+        post.groupByKey(_.segment).flatMapGroups { (seg, ps) =>
+          approxSegment(seg, ps.toArray, bc.value(seg), bW.value, avgFn, k, budget)
+        }
+      case None =>
+        post.groupByKey(_.segment).cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty
+          else approxSegment(seg, plist, assembleFnorms(fs), bW.value, avgFn, k, budget)
+        }
+    }).collect()
+    val saturated = perSeg.exists(_._5)
+    val exactCount = perSeg.groupBy(_._1).map { case (_, rows) => rows.head._4.toLong }.sum
+    val count = if (!saturated) exactCount
+    else {
+      // term-independence estimate over the whole collection
+      var est = N.toDouble
+      terms.foreach(t => est *= dfs.getOrElse(t, 0L).toDouble / N.toDouble)
+      math.round(est)
+    }
+    val hits = perSeg.map(r => (r._1, r._2, r._3))
+      .sortBy(t => (-t._3, t._1, t._2))(
+        Ordering.Tuple3(Ordering.Float.TotalOrdering, Ordering.Int, Ordering.Int))
+      .take(k)
+    (hits, count, saturated)
+  }
+
+  private def approxSegment(seg: Int, plist: Array[PostingRow],
+                            fnArrs: Map[Int, Array[Byte]],
+                            weights: Map[String, Float], avgFn: Float,
+                            k: Int, budget: Int)
+      : Iterator[(Int, Int, Float, Int, Boolean)] = {
+    val byTerm = plist.groupBy(_.term)
+    val cursors = byTerm.toSeq.sortBy(_._1).map { case (t, rows) =>
+      val wt = new Bm25Weight(weights(t), avgFn)
+      val fnA = fnArrs(Fields.Content)
+      val sorted = rows.sortBy(_.shard)
+      if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, wt)
+      else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, wt)))
+    }
+    val topk = new TopK(k)
+    var matched = 0
+    var saturated = false
+    val it = new scala.util.control.Breaks
+    it.breakable {
+      BlockWand.exhaustiveUnion(cursors, (d, s) => {
+        topk.push(d, s)
+        matched += 1
+        if (matched >= budget) { saturated = true; it.break() }
+      })
+    }
+    topk.sorted.iterator.map(h => (seg, h.doc, h.score, matched, saturated))
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tokenizers
+import graft.index._
+
+/** Prefix/set expansion + budgeted approximate search. */
+class QueryOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private lazy val corpus = Corpus.generate(spark, 400, seed = 3L).cache()
+  private lazy val index = {
+    val d = java.nio.file.Files.createTempDirectory("graftqo").toString
+    IndexBuilder.build(spark, corpus, d, IndexBuilder.Config(numSegments = 3))
+    new InvertedIndex(spark, d)
+  }
+
+  test("prefix query == explicit OR over matching terms") {
+    import spark.implicits._
+    val viaPrefix = index.searchPrefix("tok1", 20, cap = 64)
+    val terms = index.termsWhere($"term".startsWith("tok1"), 64)
+    assert(terms.nonEmpty && terms.forall(_.startsWith("tok1")))
+    val viaSet = index.searchTermSet(terms, 20)
+    assert(viaPrefix.toSeq == viaSet.toSeq)
+    assert(viaPrefix.nonEmpty)
+  }
+
+  test("unbounded budget == exact; tiny budget saturates with estimate") {
+    val (hits, count, sat) = index.searchApprox("spark data", 10, Int.MaxValue)
+    assert(!sat)
+    // exact union count via brute force
+    val expect = corpus.collect().count { d =>
+      val tf = Tokenizers.termFreqs(d.content)
+      tf.containsKey("spark") || tf.containsKey("data")
+    }
+    assert(count == expect)
+    assert(hits.toSeq == index.searchRaw("spark data", 10, "exhaustive").toSeq)
+
+    val (hits2, count2, sat2) = index.searchApprox("spark data", 10, 5)
+    assert(sat2)
+    assert(hits2.nonEmpty)
+    // independence estimate N * df_spark/N * df_data/N
+    val dfs = index.dfOf(Seq("spark", "data"))
+    val n = index.stats.numDocs.toDouble
+    val est = math.round(n * (dfs("spark") / n) * (dfs("data") / n))
+    assert(count2 == est)
+  }
+
+  test("budgeted hits come from the high-static-rank prefix") {
+    val budget = 10
+    val (hits, _, sat) = index.searchApprox("the", 5, budget)
+    assert(sat)
+    // union traversal is ascending docId; with score-sorted doc ids the
+    // budget cuts at docId < budget-ish per segment
+    assert(hits.forall(_._2 < budget + 5))
+  }
+}
