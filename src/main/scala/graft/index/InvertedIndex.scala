@@ -248,6 +248,28 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     spark.createDataFrame(hits.toSeq)
   }
 
+  /** Minimal query grammar (the core of the reference's nom parser,
+    * query/parser/mod.rs:33-120): whole-query "quoted phrase" (incl.
+    * smart quotes), `-term` negation, plain terms -> OR. Returns
+    * (query-without-minus, mode, minusTerms). */
+  def parse(q: String): (String, String, Seq[String]) = {
+    val trimmed = q.trim
+    val quotes = Set('"', '“', '”')
+    if (trimmed.length >= 2 && quotes.contains(trimmed.head) && quotes.contains(trimmed.last))
+      (trimmed.substring(1, trimmed.length - 1), "phrase", Nil)
+    else {
+      val parts = trimmed.split("\\s+").filter(_.nonEmpty)
+      val (neg, pos) = parts.partition(p => p.length > 1 && p.charAt(0) == '-')
+      (pos.mkString(" "), "or", neg.map(_.substring(1)).toSeq)
+    }
+  }
+
+  /** Parse + search in one call. */
+  def searchParsed(q: String, k: Int): Array[Hit] = {
+    val (body, mode, minus) = parse(q)
+    search(body, k, mode, minus)
+  }
+
   /** Term-dictionary scan: all distinct terms matching a predicate
     * pushed down to the posting scan (the FST-automaton analog:
     * reference phrase_prefix/fuzzy/regex queries expand to term sets,
@@ -267,6 +289,19 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
   /** Set query (reference set_query.rs): OR over an explicit term set. */
   def searchTermSet(terms: Seq[String], k: Int): Array[(Int, Int, Float)] =
     searchBatchRaw(Seq(("q", terms.mkString(" "), k, "or", Nil)))("q")
+
+  /** Fuzzy query (reference fuzzy_query.rs — Levenshtein automaton over
+    * the term dictionary): expand to terms within `maxDist` edits,
+    * cheap length prefilter first so the distance runs on few rows. */
+  def searchFuzzy(term: String, k: Int, maxDist: Int = 1, cap: Int = 64)
+      : Array[(Int, Int, Float)] = {
+    import org.apache.spark.sql.functions.{length => slen, levenshtein, lit}
+    val terms = termsWhere(
+      slen($"term").between(term.length - maxDist, term.length + maxDist) &&
+        levenshtein($"term", lit(term)) <= maxDist, cap)
+    if (terms.isEmpty) Array.empty
+    else searchTermSet(terms, k)
+  }
 
   /** Approximate budgeted search (the ShortCircuitQuery + max-docs
     * path, reference shortcircuit.rs + top_docs.rs:100-124): each

@@ -47,6 +47,18 @@ class QueryOpsSpec extends AnyFunSuite {
     assert(count2 == est)
   }
 
+  test("fuzzy query recalls 1-edit variants") {
+    // "spark" vs misspelling "sparc" distance 1 is not in vocab, so
+    // search misspelled and expect to land on "spark"
+    val viaFuzzy = index.searchFuzzy("sparc", 10, maxDist = 1)
+    assert(viaFuzzy.nonEmpty)
+    val direct = index.searchRaw("spark", 10, "or")
+    // spark is the only 1-edit vocab neighbor of sparc in this corpus?
+    // at minimum, the fuzzy result must include the direct top hit doc
+    assert(viaFuzzy.map(h => (h._1, h._2)).toSet
+      .intersect(direct.map(h => (h._1, h._2)).toSet).nonEmpty)
+  }
+
   test("budgeted hits come from the high-static-rank prefix") {
     val budget = 10
     val (hits, _, sat) = index.searchApprox("the", 5, budget)
