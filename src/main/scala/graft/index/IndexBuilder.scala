@@ -285,16 +285,26 @@ object IndexBuilder {
       }
     }
 
+    // reused per-doc scratch (cleared each doc; IntBufs pooled) — the
+    // naive fresh-HashMap-per-doc variant dominated allocation at high
+    // thread counts
+    private val perDoc = new java.util.HashMap[String, IntBuf]()
+    private var bufPool = new java.util.ArrayDeque[IntBuf]()
+
     private def addDoc(t: Tagged): Unit = {
       val docId = docs.length
       val toks = Tokenizers.default(t.content)
       val nTok = toks.length
       if (recordPositions) {
         // per-doc positions per term, appended to the segment buffers
-        val perDoc = new java.util.HashMap[String, IntBuf]()
+        perDoc.clear()
         forEachTerm(toks) { (term, p) =>
           var b = perDoc.get(term)
-          if (b == null) { b = new IntBuf(2); perDoc.put(term, b) }
+          if (b == null) {
+            b = bufPool.poll()
+            if (b == null) b = new IntBuf(4) else b.n = 0
+            perDoc.put(term, b)
+          }
           b.add(p)
         }
         val eit = perDoc.entrySet().iterator()
@@ -308,6 +318,7 @@ object IndexBuilder {
           pb.tfs.add(e.getValue.n)
           var j = 0
           while (j < e.getValue.n) { pb.pos.add(e.getValue.arr(j)); j += 1 }
+          bufPool.offer(e.getValue) // recycle
         }
       } else {
         val tf = new java.util.HashMap[String, Int](nTok * 2)
