@@ -25,9 +25,10 @@ object BuildOnce {
       IndexBuilder.Config(numSegments = 16))
     val out = java.nio.file.Files.createTempDirectory("graftbuild").toString
     val corpus = Corpus.generate(spark, numDocs, partitions = cpus * 4)
+    val positions = sys.env.getOrElse("GRAFT_POSITIONS", "1") == "1"
     val t0 = System.nanoTime()
     val report = IndexBuilder.build(spark, corpus, out,
-      IndexBuilder.Config(numSegments = segments))
+      IndexBuilder.Config(numSegments = segments, recordPositions = positions))
     val sec = (System.nanoTime() - t0) / 1e9
     require(report.numDocs == numDocs, s"build lost rows: $report")
     println(f"GRAFT_RATE ${numDocs / sec}%.1f $sec%.2f")
