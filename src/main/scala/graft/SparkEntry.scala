@@ -210,6 +210,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_json_extract" -> ((s, d) => {
+      // JsonField analog: flattened json-path value extraction + agg
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // ---- training-data pipeline ops ----
     "q_dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
@@ -437,6 +448,12 @@ object SparkEntry {
         |                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)::BIGINT AS sessions,
         |       count(*) AS events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
         |       count(*) AS copies

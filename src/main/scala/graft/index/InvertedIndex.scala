@@ -290,6 +290,65 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
   def searchTermSet(terms: Seq[String], k: Int): Array[(Int, Int, Float)] =
     searchBatchRaw(Seq(("q", terms.mkString(" "), k, "or", Nil)))("q")
 
+  /** Regex query (reference's automaton-over-termdict path,
+    * automaton_weight.rs): expand terms matching the pattern. */
+  def searchRegex(pattern: String, k: Int, cap: Int = 64): Array[(Int, Int, Float)] = {
+    val terms = termsWhere($"term".rlike(pattern), cap)
+    if (terms.isEmpty) Array.empty else searchTermSet(terms, k)
+  }
+
+  /** Range filter over doc attributes (reference range_query over
+    * columnfields = a plain filter on the columnar doc table). */
+  def docsInRange(minTokens: Int, maxTokens: Int): Dataset[DocRow] =
+    docs.filter($"numTokens".between(minTokens, maxTokens))
+
+  /** Boosted multi-clause query (reference BoostQuery score algebra:
+    * weight scales linearly, bounds scale with it, WAND unchanged). */
+  def searchBoosted(clauses: Seq[(String, Float)], k: Int): Array[(Int, Int, Float)] = {
+    val terms = clauses.map(_._1).distinct
+    if (terms.isEmpty || stats.numDocs == 0) return Array.empty
+    val boosts = clauses.toMap
+    val dfs = dfOf(terms)
+    val N = stats.numDocs
+    val avgFn = stats.avgFieldNorm
+    val weights = dfs.map { case (t, df) =>
+      t -> (Bm25.idf(df, N) * (1.0f + Bm25.K1) * boosts.getOrElse(t, 1.0f))
+    }
+    val bW = spark.sparkContext.broadcast(weights)
+    val post = postings.filter($"term".isin(terms: _*))
+    val perSeg = (residentFnorms match {
+      case Some(bc) =>
+        post.groupByKey(_.segment).flatMapGroups { (seg, ps) =>
+          boostedSegment(seg, ps.toArray, bc.value(seg), bW.value, avgFn, k)
+        }
+      case None =>
+        post.groupByKey(_.segment).cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty
+          else boostedSegment(seg, plist, assembleFnorms(fs), bW.value, avgFn, k)
+        }
+    }).collect()
+    perSeg.sortBy(t => (-t._3, t._1, t._2))(
+        Ordering.Tuple3(Ordering.Float.TotalOrdering, Ordering.Int, Ordering.Int))
+      .take(k)
+  }
+
+  private def boostedSegment(seg: Int, plist: Array[PostingRow],
+                             fnArrs: Map[Int, Array[Byte]],
+                             weights: Map[String, Float], avgFn: Float, k: Int)
+      : Iterator[(Int, Int, Float)] = {
+    val cursors = plist.groupBy(_.term).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val wt = new Bm25Weight(weights(t), avgFn)
+      val fnA = fnArrs(Fields.Content)
+      val sorted = rows.sortBy(_.shard)
+      if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, wt)
+      else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, wt)))
+    }
+    val topk = new TopK(k)
+    BlockWand.run(cursors, Float.MinValue, (d, s) => topk.push(d, s))
+    topk.sorted.iterator.map(h => (seg, h.doc, h.score))
+  }
+
   /** Fuzzy query (reference fuzzy_query.rs — Levenshtein automaton over
     * the term dictionary): expand to terms within `maxDist` edits,
     * cheap length prefilter first so the distance runs on few rows. */

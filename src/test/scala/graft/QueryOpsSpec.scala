@@ -59,6 +59,30 @@ class QueryOpsSpec extends AnyFunSuite {
       .intersect(direct.map(h => (h._1, h._2)).toSet).nonEmpty)
   }
 
+  test("regex expansion, range filter, boosted clauses") {
+    // regex over the term dictionary
+    val viaRegex = index.searchRegex("^tok1[0-3]$", 20)
+    import spark.implicits._
+    val terms = index.termsWhere($"term".rlike("^tok1[0-3]$"), 64)
+    assert(terms.toSet.subsetOf(Set("tok10", "tok11", "tok12", "tok13")))
+    assert(viaRegex.toSeq == index.searchTermSet(terms, 20).toSeq)
+
+    // range over the columnar doc attribute
+    val ranged = index.docsInRange(100, 500).collect()
+    assert(ranged.nonEmpty && ranged.forall(d => d.numTokens >= 100 && d.numTokens <= 500))
+
+    // boost algebra: boosting one clause by 2x scales its contribution;
+    // with boost 1.0 it must equal the plain OR query exactly
+    val plain = index.searchRaw("spark data", 10, "or")
+    val boosted1 = index.searchBoosted(Seq("spark" -> 1.0f, "data" -> 1.0f), 10)
+    assert(boosted1.toSeq == plain.toSeq)
+    val boosted2 = index.searchBoosted(Seq("spark" -> 5.0f, "data" -> 1.0f), 10)
+    // the top boosted hit must contain "spark"
+    val top = index.resolve(Array(boosted2.head), 1).head
+    val doc = corpus.collect().find(d => d.repo == top.repo && d.path == top.path).get
+    assert(Tokenizers.termFreqs(doc.content).containsKey("spark"))
+  }
+
   test("budgeted hits come from the high-static-rank prefix") {
     val budget = 10
     val (hits, _, sat) = index.searchApprox("the", 5, budget)
