@@ -39,6 +39,29 @@ class FixtureQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("golden top-k: exhaustive-oracle outputs are stable across builds") {
+    // FIXTURES.md §3: per-query (rank, segment, docId, score) from the
+    // exhaustive scorer over the deterministic seed-42 index. On first
+    // run the golden file is written (commit it); afterwards any
+    // deviation is a cross-version rank-identity regression.
+    val golden = java.nio.file.Paths.get("fixtures/golden/topk.tsv")
+    val queries = Seq("spark session", "the", "license apache spark",
+      "query engine block wand", "data table row", "zzsalt5a")
+    val lines = queries.flatMap { q =>
+      index.searchRaw(q, 10, "exhaustive").zipWithIndex.map { case ((s, d, sc), i) =>
+        f"$q\t${i + 1}\t$s\t$d\t$sc%.6f"
+      }
+    }
+    if (!java.nio.file.Files.exists(golden)) {
+      java.nio.file.Files.write(golden, String.join("\n", lines: _*).getBytes)
+      info(s"golden file bootstrapped with ${lines.size} rows — commit it")
+    } else {
+      val want = new String(java.nio.file.Files.readAllBytes(golden))
+        .split("\n").toSeq
+      assert(lines == want, "golden top-k drifted")
+    }
+  }
+
   test("parser: negation and phrase forms") {
     assert(index.parse("test -website") == (("test", "or", Seq("website"))))
     assert(index.parse("\"spark session\"") == (("spark session", "phrase", Nil)))
