@@ -60,4 +60,32 @@ class SegmentMergeSpec extends AnyFunSuite {
   test("merge with hot-term re-sharding") {
     checkMerged(3, IndexBuilder.Config(maxPostingsPerShard = 128))
   }
+
+  test("skew stress: 95%-df hot term shards through build and merge") {
+    // FIXTURES.md §1 skew variant: 'license' injected into ~95% of docs
+    val skew = Corpus.generate(spark, 500, seed = 13L, skew = true).cache()
+    val src = tmpDir()
+    IndexBuilder.build(spark, skew, src,
+      IndexBuilder.Config(numSegments = 4, maxPostingsPerShard = 64))
+    val idx = new InvertedIndex(spark, src)
+    import spark.implicits._
+    // the hot term must actually be sharded (df per segment ~119 > 64)
+    val hotShards = idx.postings.filter(p => p.term == "license" && p.shard > 0).count()
+    assert(hotShards > 0, "expected hot-term shards")
+    val out = tmpDir()
+    SegmentMerge.merge(spark, src, out, fanIn = 4,
+      IndexBuilder.Config(maxPostingsPerShard = 64))
+    val merged = new InvertedIndex(spark, out)
+    // merged hot list re-sharded, results exact
+    assert(merged.postings.filter(p => p.term == "license" && p.shard > 0).count() > 0)
+    Seq("license", "license apache", "license spark data").foreach { q =>
+      val w = merged.searchRaw(q, 20, "or")
+      val e = merged.searchRaw(q, 20, "exhaustive")
+      assert(w.toSeq == e.toSeq, s"skew query '$q'")
+      val a = idx.search(q, 20, "or").map(h => (h.repo, h.path, h.score)).toSet
+      val b = merged.search(q, 20, "or").map(h => (h.repo, h.path, h.score)).toSet
+      assert(a == b, s"skew query '$q' merged vs source")
+    }
+    skew.unpersist()
+  }
 }
