@@ -35,19 +35,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     indexWandTopK(spark, "/root/testdata/sf0.001")
 
-  /** Build a transient index over `documents` and serve one WAND query. */
-  private def indexWandTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
-      .as[(Long, String, String, String)]
-      .map { case (id, src, lang, text) => SourceDoc(id.toString, src, "", lang, text) }
-    val out = java.nio.file.Files.createTempDirectory("graftentry").toString
-    IndexBuilder.build(s, docs, out, IndexBuilder.Config(numSegments = 4))
-    val idx = new InvertedIndex(s, out)
-    val hits = idx.search("table merge window group data", 20, "or")
-    s.createDataFrame(hits.map(h =>
-        (h.rank, h.repo.toLong, h.score.toDouble)).toSeq)
+  // one transient index per (session, sfDir) shared by the engine-native
+  // query entries so the driver's Verify pass builds it once
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, InvertedIndex]()
+
+  private def docIndex(s: SparkSession, dir: String): InvertedIndex =
+    idxCache.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
+        .as[(Long, String, String, String)]
+        .map { case (id, src, lang, text) => SourceDoc(id.toString, src, "", lang, text) }
+      val out = java.nio.file.Files.createTempDirectory("graftentry").toString
+      IndexBuilder.build(s, docs, out,
+        IndexBuilder.Config(numSegments = 4, indexStemmed = true, indexBigrams = true))
+      new InvertedIndex(s, out)
+    })
+
+  private def hitsDF(s: SparkSession, hits: Array[graft.index.Hit]): DataFrame =
+    s.createDataFrame(hits.map(h => (h.rank, h.repo.toLong, h.score.toDouble)).toSeq)
       .toDF("rank", "doc_id", "score")
+
+  /** Flagship: transient index over `documents`, one WAND query. */
+  private def indexWandTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = docIndex(s, dir)
+    hitsDF(s, idx.search("table merge window group data", 20, "or"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -272,6 +284,26 @@ object SparkEntry {
 
     // ---- engine-native (non-SQL-expressible; rows-only gate) ----
     "q_index_wand" -> ((s, d) => indexWandTopK(s, d)),
+    "q_engine_phrase" -> ((s, d) => {
+      val idx = docIndex(s, d)
+      hitsDF(s, idx.search("data table", 20, "phrase"))
+    }),
+    "q_engine_expanded" -> ((s, d) => {
+      // field expansion + compound bigrams (stemmed + ngram fields)
+      val idx = docIndex(s, d)
+      hitsDF(s, idx.search("merging data tables", 20, "or+"))
+    }),
+    "q_engine_prefix" -> ((s, d) => {
+      val idx = docIndex(s, d)
+      val raw = idx.searchPrefix("wind", 20)
+      hitsDF(s, idx.resolve(raw, raw.length))
+    }),
+    "q_engine_approx" -> ((s, d) => {
+      import s.implicits._
+      val idx = docIndex(s, d)
+      val (hits, count, saturated) = idx.searchApprox("table row", 10, 50)
+      Seq((hits.length.toLong, count, saturated)).toDF("hits", "count", "saturated")
+    }),
     "q_simhash" -> ((s, d) => {
       Dedup.withSimhash(s, t(s, d, "documents").where(col("doc_id") < 100),
           "doc_id", "text")
