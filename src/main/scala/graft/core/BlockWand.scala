@@ -281,6 +281,36 @@ object BlockWand {
     }
   }
 
+  /** Union scan with a custom score combiner — DisjunctionMax support
+    * (reference disjunction_max_query.rs: score = max over clauses +
+    * tieBreaker * sum of the rest). */
+  def exhaustiveCombine(cursors: Seq[TermCursor], tieBreaker: Float,
+                        callback: (Int, Float) => Unit): Unit = {
+    val s = cursors.toArray
+    while (true) {
+      var m = Terminated
+      var i = 0
+      while (i < s.length) {
+        if (s(i).doc < m) m = s(i).doc
+        i += 1
+      }
+      if (m == Terminated) return
+      var best = 0.0f
+      var sum = 0.0f
+      i = 0
+      while (i < s.length) {
+        if (s(i).doc == m) {
+          val sc = s(i).score
+          if (sc > best) best = sc
+          sum += sc
+          s(i).advance()
+        }
+        i += 1
+      }
+      callback(m, best + tieBreaker * (sum - best))
+    }
+  }
+
   /** Leapfrog intersection (AND with summed scores), rarest-first driver
     * (reference: crates/core/src/query/intersection.rs:26-62). */
   def intersect(cursorsIn: Seq[TermCursor], callback: (Int, Float) => Unit): Unit = {

@@ -166,6 +166,9 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
                   }
                 case "and" =>
                   BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
+                case "dismax" =>
+                  BlockWand.exhaustiveCombine(cs, 0.0f,
+                    (d, s) => if (!excluded(d)) topk.push(d, s))
                 case "exhaustive" =>
                   BlockWand.exhaustiveUnion(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
                 case _ =>

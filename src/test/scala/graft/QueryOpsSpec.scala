@@ -83,6 +83,36 @@ class QueryOpsSpec extends AnyFunSuite {
     assert(Tokenizers.termFreqs(doc.content).containsKey("spark"))
   }
 
+  test("dismax == brute-force max over clause scores") {
+    import graft.core.{Bm25, Bm25Weight, FieldNorm, Tokenizers}
+    val q = "spark data table"
+    val got = index.searchRaw(q, 15, "dismax")
+    val terms = index.queryTerms(q).toSeq
+    val dfs = index.dfOf(terms)
+    val N = index.stats.numDocs
+    val ws = terms.map(t =>
+      t -> new Bm25Weight(Bm25.idf(dfs(t), N) * (1.0f + Bm25.K1), index.stats.avgFieldNorm)).toMap
+    val want = corpus.collect().flatMap { d =>
+      val tf = Tokenizers.termFreqs(d.content)
+      val fn = FieldNorm.fieldNormToId(
+        { var s = 0L; tf.values.forEach(v => s += v); s })
+      val scores = terms.flatMap { t =>
+        val c = tf.getOrDefault(t, 0)
+        if (c > 0) Some(ws(t).score(fn, c)) else None
+      }
+      if (scores.isEmpty) None else Some(((d.repo, d.path), scores.max))
+    }.toMap
+    val resolved = index.resolve(got, got.length)
+    resolved.foreach { h =>
+      assert(math.abs(want((h.repo, h.path)) - h.score) < 1e-6f,
+        s"${h.repo}/${h.path}")
+    }
+    // top-k by max must equal brute-force ordering (scores distinct enough)
+    val wantTop = want.toSeq.sortBy(-_._2).take(15).map(_._2.toDouble).sorted
+    val gotTop = resolved.map(_.score.toDouble).toSeq.sorted
+    assert(gotTop.zip(wantTop).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
   test("budgeted hits come from the high-static-rank prefix") {
     val budget = 10
     val (hits, _, sat) = index.searchApprox("the", 5, budget)
