@@ -89,29 +89,40 @@ object Bench {
     val scaling = sys.env.getOrElse("GRAFT_BENCH_SCALING", "1") == "1"
     val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "240000").toLong
 
-    var extra = ""
-    if (scaling) {
-      // north-rule two-cluster-size stand-in: same input at N and 4N
-      // cores (default local[2] vs local[8]); efficiency = R4n/(4*Rn).
-      // This host is a shared VM with heavy run-to-run noise (identical
-      // runs vary >2x), so each level is measured `reps` times in a
-      // fresh JVM and the best rate is taken (throughput upper bound
-      // under equal conditions; see BENCH/BASELINE.md).
+    // north-rule two-cluster-size stand-in: same input at N and 4N cores
+    // (default local[2] vs local[8]); efficiency = R4n/(4*Rn). The host
+    // is a shared VM with heavy run-to-run noise (identical runs vary
+    // >2x), so each level is measured up to `reps` times in a fresh JVM
+    // and the best rate is taken (see BENCH/BASELINE.md). A wall budget
+    // caps pathological noise phases so the bench always emits its line.
+    def runScaling(): String = {
       val n = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
       val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
-      def best(cpus: Int): (Double, Double) =
-        (0 until reps).map(_ => buildThroughput(cpus, benchDocs, 64))
-          .maxBy(_._1)
-      extra = scala.util.Try {
+      val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "420").toLong
+      val deadline = System.nanoTime() + budgetSec * 1000000000L
+      def best(cpus: Int): (Double, Double) = {
+        var out = buildThroughput(cpus, benchDocs, 64)
+        var r = 1
+        while (r < reps && System.nanoTime() < deadline) {
+          val next = buildThroughput(cpus, benchDocs, 64)
+          if (next._1 > out._1) out = next
+          r += 1
+        }
+        out
+      }
+      scala.util.Try {
         val (rN, tN) = best(n)
         val (r4N, t4N) = best(4 * n)
         val eff = r4N / (4.0 * rN)
         f""","build_docs":$benchDocs,"scaling_n":$n,"rN_docs_per_sec":$rN%.1f,"tN_sec":$tN%.2f,"r4N_docs_per_sec":$r4N%.1f,"t4N_sec":$t4N%.2f,"scaling_efficiency":$eff%.3f"""
       }.getOrElse(""","scaling_error":"child build failed"""")
-      if (sys.env.getOrElse("GRAFT_BENCH_SCALING_ONLY", "0") == "1") {
-        println(s"""{"metric":"scaling_only","value":0,"unit":"sec","queries":{}$extra}""")
-        return
-      }
+    }
+
+    var extra = ""
+    if (scaling && sys.env.getOrElse("GRAFT_BENCH_SCALING_ONLY", "0") == "1") {
+      extra = runScaling()
+      println(s"""{"metric":"scaling_only","value":0,"unit":"sec","queries":{}$extra}""")
+      return
     }
 
     val spark = session(cpus)
@@ -139,6 +150,10 @@ object Bench {
     val tb0 = System.nanoTime()
     idx.searchBatchRaw(batchQs)
     val batchPerQuery = (System.nanoTime() - tb0) / 1e9 / batchQs.size
+
+    // scaling last: the cheap sections are done before the expensive
+    // fresh-JVM builds, and the budget bounds the worst case
+    if (scaling) extra = runScaling()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
