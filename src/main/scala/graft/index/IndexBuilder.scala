@@ -45,7 +45,8 @@ object IndexBuilder {
       segmentsPerBatch: Int = 1 << 16,
       recordPositions: Boolean = true,
       indexStemmed: Boolean = false,
-      indexBigrams: Boolean = false)
+      indexBigrams: Boolean = false,
+      indexTrigrams: Boolean = false)
 
   final case class BuildReport(numDocs: Long, numTokens: Long,
                                segmentsBuilt: Int, segmentsSkipped: Int,
@@ -203,13 +204,14 @@ object IndexBuilder {
     val recordPos = cfg.recordPositions
     val stemmedF = cfg.indexStemmed
     val bigramF = cfg.indexBigrams
+    val trigramF = cfg.indexTrigrams
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
       .sortWithinPartitions(col("segment"), col("sortKey").desc,
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
-        new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF)
+        new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF, trigramF)
       }
       .write.mode(SaveMode.Append).partitionBy("kind")
       .parquet(dataDir(outDir))
@@ -228,7 +230,8 @@ object IndexBuilder {
     * in RAM and flushing it as doc/fnorm/posting/stat rows. */
   private final class SegmentEmitter(it: Iterator[Tagged], maxShard: Int,
                                      fnChunk: Int, recordPositions: Boolean,
-                                     indexStemmed: Boolean, indexBigrams: Boolean)
+                                     indexStemmed: Boolean, indexBigrams: Boolean,
+                                     indexTrigrams: Boolean)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
@@ -236,6 +239,7 @@ object IndexBuilder {
     private var docs = new scala.collection.mutable.ArrayBuffer[DocRow]
     private var fnorms = new java.io.ByteArrayOutputStream()
     private var fnormsBigram = new java.io.ByteArrayOutputStream()
+    private var fnormsTrigram = new java.io.ByteArrayOutputStream()
     private var postings = new java.util.HashMap[String, PostBuf]()
     private var numTokens = 0L
     private var shaAgg = new Array[Byte](32)
@@ -266,10 +270,22 @@ object IndexBuilder {
       docs = new scala.collection.mutable.ArrayBuffer[DocRow]
       fnorms = new java.io.ByteArrayOutputStream()
       fnormsBigram = new java.io.ByteArrayOutputStream()
+      fnormsTrigram = new java.io.ByteArrayOutputStream()
       postings = new java.util.HashMap[String, PostBuf]()
       numTokens = 0L
       shaAgg = new Array[Byte](32)
     }
+
+    private def extraFnRows(seg: Int, field: Int, arr: Array[Byte],
+                            nDocs: Int, chunk: Int): Iterator[BuildRow] =
+      if (arr.isEmpty) Iterator.empty
+      else (0 until nDocs by chunk).iterator.map { off =>
+        val end = math.min(off + chunk, nDocs)
+        BuildRow("fnorm", seg, None, None,
+          Some(FnormRow(seg,
+            (field << Fields.FnormFieldShift) | (off / chunk), end - off,
+            java.util.Arrays.copyOfRange(arr, off, end))), None)
+      }
 
     /** Visit every indexed (term, position) of a doc: the content field
       * plus the stemmed / bigram shadow fields (reference field
@@ -281,6 +297,8 @@ object IndexBuilder {
         if (indexStemmed) f(Fields.stemTerm(toks(p)), p)
         if (indexBigrams && p + 1 < toks.length)
           f(Fields.bigramTerm(toks(p), toks(p + 1)), p)
+        if (indexTrigrams && p + 2 < toks.length)
+          f(Fields.trigramTerm(toks(p), toks(p + 1), toks(p + 2)), p)
         p += 1
       }
     }
@@ -338,6 +356,8 @@ object IndexBuilder {
       fnorms.write(fnId & 0xff)
       if (indexBigrams)
         fnormsBigram.write(FieldNorm.fieldNormToId(math.max(nTok - 1, 0).toLong) & 0xff)
+      if (indexTrigrams)
+        fnormsTrigram.write(FieldNorm.fieldNormToId(math.max(nTok - 2, 0).toLong) & 0xff)
       numTokens += nTok
       val sha = sha256(t.content)
       var i = 0
@@ -367,29 +387,30 @@ object IndexBuilder {
       val docRows = segDocs.iterator.map(d =>
         BuildRow("doc", seg, Some(d), None, None, None))
       val bigramFnArr = fnormsBigram.toByteArray
+      val trigramFnArr = fnormsTrigram.toByteArray
       val fnRows = (0 until nDocs by fnChunk).iterator.map { off =>
         val end = math.min(off + fnChunk, nDocs)
         BuildRow("fnorm", seg, None, None,
           Some(FnormRow(seg, off / fnChunk, end - off,
             java.util.Arrays.copyOfRange(fnArr, off, end))), None)
-      } ++ (if (bigramFnArr.isEmpty) Iterator.empty
-            else (0 until nDocs by fnChunk).iterator.map { off =>
-        val end = math.min(off + fnChunk, nDocs)
-        BuildRow("fnorm", seg, None, None,
-          Some(FnormRow(seg,
-            (Fields.Bigram << Fields.FnormFieldShift) | (off / fnChunk),
-            end - off,
-            java.util.Arrays.copyOfRange(bigramFnArr, off, end))), None)
-      })
+      } ++ extraFnRows(seg, Fields.Bigram, bigramFnArr, nDocs, fnChunk) ++
+        extraFnRows(seg, Fields.Trigram, trigramFnArr, nDocs, fnChunk)
       val postRows = terms.iterator.flatMap { term =>
         val pb = segPostings.get(term)
         val df = pb.docs.n
         // shadow fields score against their own fieldnorms + averages
         val field = Fields.fieldOf(term)
-        val termAvg = if (field == Fields.Bigram && nDocs > 0)
-          (segTokens - nDocs).toFloat / nDocs.toFloat else avgFn
-        val termFn = if (Fields.fnormFieldOf(field) == Fields.Bigram)
-          bigramFnArr else fnArr
+        val termAvg =
+          if (field == Fields.Bigram && nDocs > 0)
+            (segTokens - nDocs).toFloat / nDocs.toFloat
+          else if (field == Fields.Trigram && nDocs > 0)
+            math.max(segTokens - 2L * nDocs, 1L).toFloat / nDocs.toFloat
+          else avgFn
+        val termFn = Fields.fnormFieldOf(field) match {
+          case Fields.Bigram => bigramFnArr
+          case Fields.Trigram => trigramFnArr
+          case _ => fnArr
+        }
         val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, termAvg)
         val dArr = pb.docs.toArray
         val tArr = pb.tfs.toArray

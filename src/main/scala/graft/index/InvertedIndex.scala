@@ -118,6 +118,9 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     val bigramAvg = if (stats.numDocs > 0)
       (stats.numTokens - stats.numDocs).toFloat / stats.numDocs.toFloat
     else 1.0f
+    val trigramAvg = if (stats.numDocs > 0)
+      math.max(stats.numTokens - 2L * stats.numDocs, 1L).toFloat / stats.numDocs.toFloat
+    else 1.0f
 
     def scoreSegment(seg: Int, plist: Array[PostingRow],
                      fnArrs: Map[Int, Array[Byte]])
@@ -130,7 +133,9 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
           def cursor(term: String): Option[TermCursor] =
             byTerm.get(term).map { rows =>
               val field = Fields.fieldOf(term)
-              val av = if (field == Fields.Bigram) bigramAvg else avgFn
+              val av = if (field == Fields.Bigram) bigramAvg
+                       else if (field == Fields.Trigram) trigramAvg
+                       else avgFn
               val fnA = fnArrs(Fields.fnormFieldOf(field))
               val wt = new Bm25Weight(bWeights.value(term), av)
               if (rows.length == 1)

@@ -163,6 +163,8 @@ object SegmentMerge {
       val fnArr = fnArrs(Fields.Content)
       require(fnArr.length == nDocs, s"fnorm length ${fnArr.length} != $nDocs docs in merged seg $seg")
       val bigramAvg = if (nDocs > 0) (nTokens - nDocs).toFloat / nDocs.toFloat else 1.0f
+      val trigramAvg = if (nDocs > 0)
+        math.max(nTokens - 2L * nDocs, 1L).toFloat / nDocs.toFloat else 1.0f
 
       val fnRows = fnArrs.iterator.flatMap { case (field, arr) =>
         (0 until arr.length by fnChunk).iterator.map { off =>
@@ -219,7 +221,9 @@ object SegmentMerge {
             i += 1
           }
           val field = Fields.fieldOf(term)
-          val termAvg = if (field == Fields.Bigram) bigramAvg else avgFn
+          val termAvg = if (field == Fields.Bigram) bigramAvg
+                        else if (field == Fields.Trigram) trigramAvg
+                        else avgFn
           val termFn = fnArrs.getOrElse(Fields.fnormFieldOf(field), fnArr)
           val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, termAvg)
           if (df <= maxShard) {

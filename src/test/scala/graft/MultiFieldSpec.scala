@@ -53,7 +53,7 @@ class MultiFieldSpec extends AnyFunSuite {
   private lazy val index = {
     val d = tmpDir()
     IndexBuilder.build(spark, corpus, d, IndexBuilder.Config(
-      numSegments = 3, indexStemmed = true, indexBigrams = true))
+      numSegments = 3, indexStemmed = true, indexBigrams = true, indexTrigrams = true))
     new InvertedIndex(spark, d)
   }
 
@@ -105,7 +105,7 @@ class MultiFieldSpec extends AnyFunSuite {
     // rebuild source dir to merge from (merge needs its own copy)
     val src = tmpDir()
     IndexBuilder.build(spark, corpus, src, IndexBuilder.Config(
-      numSegments = 3, indexStemmed = true, indexBigrams = true))
+      numSegments = 3, indexStemmed = true, indexBigrams = true, indexTrigrams = true))
     SegmentMerge.merge(spark, src, d2, fanIn = 3)
     val merged = new InvertedIndex(spark, d2)
     Seq("merging data", "hash join", "the license").foreach { q =>
