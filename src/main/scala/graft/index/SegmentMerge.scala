@@ -43,13 +43,16 @@ object SegmentMerge {
                             fnorm: Option[FnormRow])
 
   def merge(spark: SparkSession, inDir: String, outDir: String,
-            fanIn: Int, cfg: IndexBuilder.Config = IndexBuilder.Config()): Unit = {
+            fanIn: Int, cfg: IndexBuilder.Config = IndexBuilder.Config(),
+            segFilter: Int => Boolean = _ => true): Unit = {
     import spark.implicits._
     val in = new InvertedIndex(spark, inDir)
     new java.io.File(IndexBuilder.manifestDir(outDir)).mkdirs()
 
-    // bases + merged stats from the stat table (driver-side, tiny)
-    val stats = in.segStats.collect().sortBy(_.segment)
+    // bases + merged stats from the stat table (driver-side, tiny);
+    // segFilter drops expired segments (live-index TTL compaction)
+    val stats = in.segStats.collect().filter(s => segFilter(s.segment))
+      .sortBy(_.segment)
     val newSegOf: Int => Int = old => old / fanIn
     val grouped = stats.groupBy(s => newSegOf(s.segment))
     val baseOf: Map[Int, Int] = grouped.values.flatMap { g =>
@@ -69,7 +72,7 @@ object SegmentMerge {
     val fnChunk = cfg.fnormChunkSize
 
     // 1) docs: narrow rewrite
-    in.docs.map { d =>
+    in.docs.filter(d => segFilter(d.segment)).map { d =>
       val ns = newSegOf(d.segment)
       val base = bBase.value(d.segment)
       IndexBuilder.BuildRow("doc", ns,
@@ -80,11 +83,11 @@ object SegmentMerge {
     // 2) fnorms + postings: one term-sorted shuffle per merged segment.
     // fnorm rows sort by (field, oldSeg, chunk) via the term slot so
     // per-field arrays concatenate correctly.
-    val fnRows = in.fnorms.map(f =>
+    val fnRows = in.fnorms.filter(f => segFilter(f.segment)).map(f =>
       MergeRow(newSegOf(f.segment), 0,
         f"${f.chunk >> Fields.FnormFieldShift}%03d", f.segment, f.chunk,
         None, Some(f)))
-    val postRows = in.postings.map(p =>
+    val postRows = in.postings.filter(p => segFilter(p.segment)).map(p =>
       MergeRow(newSegOf(p.segment), 1, p.term, p.segment, p.shard, Some(p), None))
     val parts = math.max(spark.sparkContext.defaultParallelism,
       mergedStats.size)

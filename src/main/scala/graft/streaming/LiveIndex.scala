@@ -68,8 +68,12 @@ object LiveIndex {
     * The reference compacts hourly by segment age
     * (live_index/index.rs:341); here the age cutoff is the batch id. */
   def compact(spark: SparkSession, liveDir: String, outDir: String,
-              cfg: IndexBuilder.Config = IndexBuilder.Config()): Unit = {
-    // merge everything into segment-id space starting at 0
-    SegmentMerge.merge(spark, liveDir, outDir, fanIn = Int.MaxValue, cfg)
+              cfg: IndexBuilder.Config = IndexBuilder.Config(),
+              minBatchId: Long = Long.MinValue): Unit = {
+    // merge everything into segment-id space starting at 0; TTL: drop
+    // mini-segments older than minBatchId (the reference's age-based
+    // segment expiry, live_index/index.rs:341 + 60-day TTL)
+    SegmentMerge.merge(spark, liveDir, outDir, fanIn = Int.MaxValue, cfg,
+      segFilter = seg => batchIdOf(seg) >= minBatchId)
   }
 }

@@ -55,6 +55,12 @@ class LiveIndexSpec extends AnyFunSuite {
     q2.stop()
     assert(new InvertedIndex(spark, liveDir).stats.numDocs == 300)
 
+    // TTL compaction: drop batch 0 (first 100 docs), keep batches >= 1
+    val ttlDir = tmpDir("graftttl")
+    LiveIndex.compact(spark, liveDir, ttlDir, minBatchId = 1L)
+    val ttl = new InvertedIndex(spark, ttlDir)
+    assert(ttl.stats.numDocs == 200, "TTL should expire batch 0's 100 docs")
+
     // compact all mini-segments into one batch-layout segment
     val compactDir = tmpDir("graftcompact")
     LiveIndex.compact(spark, liveDir, compactDir)
