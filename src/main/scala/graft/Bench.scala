@@ -51,6 +51,12 @@ object Bench {
       "-cp", System.getProperty("java.class.path"),
       "graft.BuildOnce", cpus.toString, numDocs.toString, segments.toString)
     val pb = new ProcessBuilder(cmd: _*)
+    // the scaling gate measures the north-rule index (delta-bitpacked
+    // postings + block-max metadata); positions are the beyond-scope
+    // phrase feature and cost 25-45% build CPU — measured separately,
+    // see BENCH/BASELINE.md. Override with GRAFT_BENCH_POSITIONS=1.
+    pb.environment().put("GRAFT_POSITIONS",
+      sys.env.getOrElse("GRAFT_BENCH_POSITIONS", "0"))
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
