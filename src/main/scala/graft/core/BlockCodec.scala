@@ -15,6 +15,24 @@ package graft.core
 object BlockCodec {
   final val BlockSize = 128
 
+  /** Unsynchronized growable byte sink (ByteArrayOutputStream's
+    * per-byte synchronized writes cost real CPU on vint-heavy paths). */
+  final class ByteBuf(initial: Int = 64) {
+    var arr = new Array[Byte](initial)
+    var n = 0
+    @inline def write(b: Int): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = b.toByte; n += 1
+    }
+    def write(bs: Array[Byte]): Unit = {
+      if (n + bs.length > arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(n + bs.length, arr.length * 2))
+      System.arraycopy(bs, 0, arr, n, bs.length); n += bs.length
+    }
+    def size(): Int = n
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(arr, n)
+  }
+
   @inline def bitsFor(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v | 0)
 
   /** Pack `n` values of `width` bits each (LSB-first, little-endian). */

@@ -66,7 +66,7 @@ object PostingListData {
     val n = docs.length
     val numFull = n / BlockCodec.BlockSize
     // positions: vint gap streams per doc, block-offset directory
-    val posOut = new java.io.ByteArrayOutputStream()
+    val posOut = new BlockCodec.ByteBuf(if (positionsFlat == null) 1 else positionsFlat.length + 16)
     val numBlocksTotal = numFull + (if (n % BlockCodec.BlockSize > 0) 1 else 0)
     val posOffs = if (positionsFlat == null) Array.emptyIntArray
                   else new Array[Int](numBlocksTotal)
@@ -97,8 +97,8 @@ object PostingListData {
     val tfBits = new Array[Byte](numFull)
     val bwFn = new Array[Byte](numFull)
     val bwTf = new Array[Byte](numFull)
-    val docsOut = new java.io.ByteArrayOutputStream()
-    val tfsOut = new java.io.ByteArrayOutputStream()
+    val docsOut = new BlockCodec.ByteBuf(64)
+    val tfsOut = new BlockCodec.ByteBuf(64)
     val blockDocs = new Array[Int](BlockCodec.BlockSize)
     val blockTfs = new Array[Int](BlockCodec.BlockSize)
     var base = -1
@@ -132,7 +132,7 @@ object PostingListData {
       b += 1
     }
     val tailN = n - numFull * BlockCodec.BlockSize
-    val tail = new java.io.ByteArrayOutputStream()
+    val tail = new BlockCodec.ByteBuf(16)
     if (tailN > 0) {
       val td = new Array[Int](tailN)
       val tt = new Array[Int](tailN)
