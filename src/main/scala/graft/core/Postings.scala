@@ -147,6 +147,35 @@ object PostingListData {
       docsOut.toByteArray, tfsOut.toByteArray, tail.toByteArray,
       posOut.toByteArray, posOffs)
   }
+
+  /** Like `build`, but positions arrive ALREADY vint-gap-encoded (the
+    * hot build path encodes during accumulation — 1 byte/token instead
+    * of 4 — so the memory-bandwidth wall at high thread counts isn't
+    * hit twice). posBytes layout: per doc, tf vint gaps (first
+    * absolute); the per-block offset directory is recovered with one
+    * read-only walk. */
+  def buildEncoded(term: String, docs: Array[Int], tfs: Array[Int],
+                   buildWeight: Bm25Weight, fnorms: Array[Byte],
+                   posBytes: Array[Byte]): PostingListData = {
+    val base = build(term, docs, tfs, buildWeight, fnorms, null)
+    if (posBytes == null || posBytes.length == 0) return base
+    val n = docs.length
+    val numBlocksTotal = base.numFullBlocks + (if (base.tailCount > 0) 1 else 0)
+    val posOffs = new Array[Int](numBlocksTotal)
+    var off = 0
+    var d = 0
+    while (d < n) {
+      if (d % BlockCodec.BlockSize == 0) posOffs(d / BlockCodec.BlockSize) = off
+      var j = 0
+      while (j < tfs(d)) {
+        while ((posBytes(off) & 0x80) == 0) off += 1
+        off += 1
+        j += 1
+      }
+      d += 1
+    }
+    base.copy(posBytes = posBytes, posBlockOffsets = posOffs)
+  }
 }
 
 /** Cursor interface consumed by the WAND loop. `maxScore` is the global

@@ -128,7 +128,10 @@ object IndexBuilder {
   private final class PostBuf {
     val docs = new IntBuf(4)
     val tfs = new IntBuf(4)
-    var pos: IntBuf = null // token positions, doc-order concatenated
+    // positions pre-encoded as vint gaps per doc (1 byte/token typical):
+    // accumulating raw ints costs 4-8x the memory traffic and hits the
+    // host's bandwidth wall at high thread counts
+    var pos: graft.core.BlockCodec.ByteBuf = null
   }
 
   def manifestDir(outDir: String) = s"$outDir/manifest"
@@ -330,12 +333,25 @@ object IndexBuilder {
           val e = eit.next()
           var pb = postings.get(e.getKey)
           if (pb == null) {
-            pb = new PostBuf; pb.pos = new IntBuf(4); postings.put(e.getKey, pb)
+            pb = new PostBuf
+            pb.pos = new graft.core.BlockCodec.ByteBuf(8)
+            postings.put(e.getKey, pb)
           }
           pb.docs.add(docId)
           pb.tfs.add(e.getValue.n)
           var j = 0
-          while (j < e.getValue.n) { pb.pos.add(e.getValue.arr(j)); j += 1 }
+          var prev = 0
+          while (j < e.getValue.n) {
+            var v = e.getValue.arr(j) - prev
+            prev = e.getValue.arr(j)
+            var done = false
+            while (!done) {
+              val b = v & 0x7f
+              v >>>= 7
+              if (v == 0) { pb.pos.write(b | 0x80); done = true } else pb.pos.write(b)
+            }
+            j += 1
+          }
           bufPool.offer(e.getValue) // recycle
         }
       } else {
@@ -414,21 +430,39 @@ object IndexBuilder {
         val w = Bm25Weight.forTerm(df.toLong, nDocs.toLong, termAvg)
         val dArr = pb.docs.toArray
         val tArr = pb.tfs.toArray
-        val pArr = if (pb.pos == null) null else pb.pos.toArray
+        val pEnc = if (pb.pos == null) null else pb.pos.toByteArray
         if (df <= maxShard) {
-          val pl = PostingListData.build(term, dArr, tArr, w, termFn, pArr)
+          val pl = PostingListData.buildEncoded(term, dArr, tArr, w, termFn, pEnc)
           Iterator.single(BuildRow("posting", seg, None,
             Some(PostingRow.from(seg, 0, 0, pl)), None, None))
         } else {
-          // hot-term sharding: bound row size and per-task query memory
-          val tfCum = new Array[Int](df + 1) // position-stream offsets
-          locally { var i = 0
-            while (i < df) { tfCum(i + 1) = tfCum(i) + tArr(i); i += 1 } }
+          // hot-term sharding: bound row size and per-task query memory;
+          // per-doc byte offsets in the encoded position stream let each
+          // shard slice without decoding
+          val docByteOff: Array[Int] =
+            if (pEnc == null) null
+            else {
+              val o = new Array[Int](df + 1)
+              var pos = 0
+              var i = 0
+              while (i < df) {
+                o(i) = pos
+                var j = 0
+                while (j < tArr(i)) {
+                  while ((pEnc(pos) & 0x80) == 0) pos += 1
+                  pos += 1
+                  j += 1
+                }
+                i += 1
+              }
+              o(df) = pos
+              o
+            }
           (0 until df by maxShard).iterator.zipWithIndex.map { case (off, sh) =>
             val end = math.min(off + maxShard, df)
-            val pSlice = if (pArr == null) null
-              else java.util.Arrays.copyOfRange(pArr, tfCum(off), tfCum(end))
-            val pl = PostingListData.build(term,
+            val pSlice = if (pEnc == null) null
+              else java.util.Arrays.copyOfRange(pEnc, docByteOff(off), docByteOff(end))
+            val pl = PostingListData.buildEncoded(term,
               java.util.Arrays.copyOfRange(dArr, off, end),
               java.util.Arrays.copyOfRange(tArr, off, end), w, termFn, pSlice)
             BuildRow("posting", seg, None,
