@@ -170,9 +170,13 @@ object SparkEntry {
       t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          // exact decimal sum -> double mean: Spark's partial-agg double
+          // summation order differs from DuckDB's sequential sum, so a
+          // plain avg() can flip the 4th decimal
+          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -181,7 +185,7 @@ object SparkEntry {
       val c = broadcast(t(s, d, "customer"))
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
           count(lit(1)).as("orders"))
         .orderBy("c_mktsegment")
     }),
@@ -191,7 +195,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("acctbal"))
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("acctbal"))
         .orderBy("r_name")
     }),
     "q_window_running" -> ((s, d) => {
@@ -200,7 +204,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "lineitem").where(col("l_suppkey") < 10)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_quantity").cast("decimal(18,2)")).over(w).as("running_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").as("running_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
     "q_events_hourly" -> ((s, d) => {
@@ -311,10 +315,23 @@ object SparkEntry {
         .orderBy("id")
     }),
     "q_multimodal" -> ((s, d) => {
+      // metadata face (SQL-expressible -> DuckDB oracle); the decoded
+      // feature vector lives in q_multimodal_features (rows-only)
       val media = Multimodal.synthesize(s, t(s, d, "documents")
         .where(col("doc_id") < 100), "doc_id", "text")
-      Multimodal.extractFeatures(s, media, dim = 4)
-        .toDF().orderBy("media_id")
+      Multimodal.extractFeatures(s, media, dim = 4).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"))
+        .orderBy("media_id")
+    }),
+    "q_multimodal_features" -> ((s, d) => {
+      // feature columns flattened to scalars (driver-sortable)
+      val media = Multimodal.synthesize(s, t(s, d, "documents")
+        .where(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.extractFeatures(s, media, dim = 4).toDF()
+        .select(col("media_id") +:
+          (0 until 4).map(i => round(element_at(col("features"), i + 1)
+            .cast("double"), 4).as(s"f$i")): _*)
+        .orderBy("media_id")
     })
   )
 
@@ -439,31 +456,31 @@ object SparkEntry {
         |FROM nn""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price,
+        |       round(sum(CAST(l_discount AS DECIMAL(18,6)))::DOUBLE / count(*), 4) AS avg_disc,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_broadcast" ->
       """SELECT c_mktsegment,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
         |       count(*) AS orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_multi_join" ->
       """SELECT r_name, count(*) AS customers,
-        |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS acctbal
+        |       sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |       (sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |         PARTITION BY l_suppkey
         |         ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |         ROWS UNBOUNDED PRECEDING) AS running_qty
+        |         ROWS UNBOUNDED PRECEDING))::DOUBLE AS running_qty
         |FROM lineitem WHERE l_suppkey < 10
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q_events_hourly" ->
@@ -501,10 +518,11 @@ object SparkEntry {
         |         LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
         |         LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY pos) AS s
         |  FROM sh WHERE w <> ''),
+        |hs AS (SELECT doc_id, md5(s) AS h FROM sh3 WHERE s IS NOT NULL),
         |sig AS (
-        |  SELECT doc_id, band, min(md5(band || ':' || s)) AS sig
-        |  FROM sh3, (SELECT unnest([0,1,2,3]) AS band)
-        |  WHERE s IS NOT NULL GROUP BY doc_id, band)
+        |  SELECT doc_id, band, min(substr(h, band*8 + 1, 8)) AS sig
+        |  FROM hs, (SELECT unnest([0,1,2,3]) AS band)
+        |  GROUP BY doc_id, band)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM sig a JOIN sig b
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -580,6 +598,12 @@ object SparkEntry {
         |                                 ORDER BY cos DESC, nbr_id) AS rnk
         |       FROM scored)
         |SELECT probe_id, nbr_id, cos, rnk FROM rk WHERE rnk <= 3
-        |ORDER BY probe_id, rnk""".stripMargin
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       octet_length(encode(text)) AS byte_len
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin
   )
 }

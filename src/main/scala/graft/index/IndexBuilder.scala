@@ -136,6 +136,7 @@ object IndexBuilder {
 
   def manifestDir(outDir: String) = s"$outDir/manifest"
   def dataDir(outDir: String) = s"$outDir/data"
+  def stagingDir(outDir: String) = s"$outDir/staging"
 
   def completedSegments(outDir: String): Set[Int] = {
     val dir = new java.io.File(manifestDir(outDir))
@@ -147,6 +148,59 @@ object IndexBuilder {
       .toSet
   }
 
+  /** Batch commit marker: written last, checked first — the unit of
+    * exactly-once. A batch whose marker exists is fully committed (data
+    * adopted + manifests written); one without is re-staged from
+    * scratch, and `adoptStaged` first deletes any partially-adopted
+    * files of the same batch, so replay after a crash at ANY point
+    * (mid-stage, mid-adopt, mid-manifest) converges to exactly one copy
+    * of the batch's rows. */
+  def batchMarkerPath(outDir: String, tag: String): java.nio.file.Path =
+    java.nio.file.Paths.get(manifestDir(outDir), s"batch-$tag.done")
+
+  def batchCommitted(outDir: String, tag: String): Boolean =
+    java.nio.file.Files.exists(batchMarkerPath(outDir, tag))
+
+  def commitBatch(outDir: String, tag: String, detail: String): Unit =
+    java.nio.file.Files.writeString(batchMarkerPath(outDir, tag),
+      s"""{"batch":"$tag",$detail}""")
+
+  /** Move staged parquet files into the live data dir under
+    * deterministic names `<prefix>-<j>.parquet`, deleting any previous
+    * adoption of the same prefix first (idempotent on replay). Local-FS
+    * rename here; a real cluster deploy uses the same protocol through
+    * its object-store committer. */
+  def adoptStaged(staged: String, outDir: String, prefix: String): Unit = {
+    val stagedDir = new java.io.File(staged)
+    val kinds = Option(stagedDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("kind="))
+    // 1) clear any partial previous adoption of this batch
+    val dd = new java.io.File(dataDir(outDir))
+    if (dd.isDirectory) {
+      dd.listFiles().filter(_.isDirectory).foreach { kd =>
+        Option(kd.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(prefix + "-"))
+          .foreach(_.delete())
+      }
+    }
+    // 2) deterministic-name adopt
+    kinds.foreach { kd =>
+      val target = java.nio.file.Paths.get(dataDir(outDir), kd.getName)
+      java.nio.file.Files.createDirectories(target)
+      val parts = kd.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, j) =>
+        java.nio.file.Files.move(f.toPath, target.resolve(s"$prefix-$j.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    deleteRecursively(stagedDir)
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   def build(spark: SparkSession, input: Dataset[SourceDoc], outDir: String,
             cfg: Config = Config()): BuildReport = {
     import spark.implicits._
@@ -154,53 +208,65 @@ object IndexBuilder {
     new java.io.File(manifestDir(outDir)).mkdirs()
 
     val done = completedSegments(outDir)
-    val allSegments = (0 until cfg.numSegments).filterNot(done)
     val S = cfg.numSegments
-    val maxShard = cfg.maxPostingsPerShard
-    val fnChunk = cfg.fnormChunkSize
 
     val tagged = input.map { d =>
       Tagged(segmentOf(d.repo, d.path, S), sortKeyOf(d.repo, d.path, d.commit),
         d.repo, d.path, d.commit, d.lang, d.content)
     }
 
+    // batches are a STABLE grouping of all segments (independent of what
+    // is already done) so the batch commit marker names stay meaningful
+    // across resumes; an uncommitted batch is re-staged wholesale and
+    // adoptStaged clears its partial files, so a crash between the data
+    // append and the manifest write can never duplicate rows
     var built = 0
-    allSegments.grouped(cfg.segmentsPerBatch).foreach { batch =>
-      val batchSet = batch.toSet
-      val slice =
-        if (done.isEmpty && batch.size == S) tagged
-        else tagged.filter(t => batchSet.contains(t.segment))
-      // over-partition well beyond the segment count: hash placement of S
-      // segment keys into exactly S partitions leaves ~37% empty and some
-      // with 3-4 segments (straggler waves); at 4x, surplus partitions are
-      // cheap no-ops and the max per-task load stays ~1-2 segments
-      val parts = math.max(spark.sparkContext.defaultParallelism,
-        math.min(batch.size * 4, 4096))
-      writeSegments(slice, parts, outDir, cfg)
+    var skipped = 0
+    (0 until S).grouped(cfg.segmentsPerBatch).zipWithIndex.foreach { case (batch, bi) =>
+      val tag = s"b$bi"
+      if (batchCommitted(outDir, tag)) { skipped += batch.size }
+      else {
+        val batchSet = batch.toSet
+        val slice =
+          if (batch.size == S) tagged
+          else tagged.filter(t => batchSet.contains(t.segment))
+        // over-partition well beyond the segment count: hash placement of S
+        // segment keys into exactly S partitions leaves ~37% empty and some
+        // with 3-4 segments (straggler waves); at 4x, surplus partitions are
+        // cheap no-ops and the max per-task load stays ~1-2 segments
+        val parts = math.max(spark.sparkContext.defaultParallelism,
+          math.min(batch.size * 4, 4096))
+        val staged = s"${stagingDir(outDir)}/$tag"
+        writeSegments(slice, parts, staged, cfg)
+        adoptStaged(staged, outDir, tag)
 
-      // commit manifests for this batch (checkpoint + lineage)
-      val stats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
-        .select("stat.*").as[SegStatRow]
-        .filter(s => batchSet.contains(s.segment)).collect()
-      stats.foreach(writeManifest(outDir, _))
-      // segments with zero input rows still need a manifest to be "done"
-      val seen = stats.map(_.segment).toSet
-      batch.filterNot(seen).foreach { seg =>
-        writeManifest(outDir, SegStatRow(seg, 0, 0, 0, 0, "0" * 64, 0))
+        // commit manifests for this batch (checkpoint + lineage)
+        val stats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
+          .select("stat.*").as[SegStatRow]
+          .filter(s => batchSet.contains(s.segment)).collect()
+        stats.foreach(writeManifest(outDir, _))
+        // segments with zero input rows still need a manifest to be "done"
+        val seen = stats.map(_.segment).toSet
+        batch.filterNot(seen).foreach { seg =>
+          writeManifest(outDir, SegStatRow(seg, 0, 0, 0, 0, "0" * 64, 0))
+        }
+        commitBatch(outDir, tag, s""""segments":${batch.size}""")
+        built += batch.size
       }
-      built += batch.size
     }
 
     val allStats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
       .select("stat.*").as[SegStatRow].collect()
     BuildReport(allStats.map(_.numDocs).sum, allStats.map(_.numTokens).sum,
-      built, done.size, (System.nanoTime() - t0) / 1000000)
+      built, math.max(done.size, skipped), (System.nanoTime() - t0) / 1000000)
   }
 
   /** Shared segment-build stage: shuffle to segments, sort, accumulate,
-    * serialize, append. Used by the batch build and the live (streaming)
+    * serialize, write parquet partitioned by row kind into
+    * `<stageOut>/kind=*` (overwrite — callers stage then adopt, see
+    * adoptStaged). Used by the batch build and the live (streaming)
     * micro-batch append. */
-  def writeSegments(tagged: Dataset[Tagged], parts: Int, outDir: String,
+  def writeSegments(tagged: Dataset[Tagged], parts: Int, stageOut: String,
                     cfg: Config): Unit = {
     val maxShard = cfg.maxPostingsPerShard
     val fnChunk = cfg.fnormChunkSize
@@ -216,8 +282,8 @@ object IndexBuilder {
       .mapPartitions { it =>
         new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF, trigramF)
       }
-      .write.mode(SaveMode.Append).partitionBy("kind")
-      .parquet(dataDir(outDir))
+      .write.mode(SaveMode.Overwrite).partitionBy("kind")
+      .parquet(stageOut)
   }
 
   private def writeManifest(outDir: String, s: SegStatRow): Unit = {
@@ -247,7 +313,11 @@ object IndexBuilder {
     private var numTokens = 0L
     private var shaAgg = new Array[Byte](32)
 
-    def hasNext: Boolean = pending.hasNext || it.hasNext
+    // curSeg >= 0 means the current segment is accumulated but not yet
+    // flushed — without that clause the final segment of a partition is
+    // silently dropped whenever `pending` drains exactly at input end
+    // (e.g. a 1-doc segment sorted after a larger one).
+    def hasNext: Boolean = pending.hasNext || it.hasNext || curSeg >= 0
 
     def next(): BuildRow = {
       while (!pending.hasNext) {
@@ -418,7 +488,7 @@ object IndexBuilder {
         val field = Fields.fieldOf(term)
         val termAvg =
           if (field == Fields.Bigram && nDocs > 0)
-            (segTokens - nDocs).toFloat / nDocs.toFloat
+            math.max(segTokens - nDocs, 1L).toFloat / nDocs.toFloat
           else if (field == Fields.Trigram && nDocs > 0)
             math.max(segTokens - 2L * nDocs, 1L).toFloat / nDocs.toFloat
           else avgFn

@@ -18,8 +18,12 @@ import graft.core._
   * are Catalyst aggregates over the stat/posting tables, per the north
   * rule. BM25 weights use collection-level stats while per-block max
   * metadata was computed with segment-level stats — the same deliberate
-  * approximation as the reference (term_scorer.rs:63-70); bounds stay
-  * valid per-segment, results stay exact.
+  * approximation as the reference (term_scorer.rs:63-70, which documents
+  * that the stored (fieldnorm, tf) argmax under the segment average "may
+  * lead us to return a lesser document" when the averages diverge).
+  * Top-k is exact whenever segment avg == collection avg (single
+  * segment, or uniformly distributed corpora); otherwise it inherits the
+  * reference's approximation.
   */
 final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable {
   import spark.implicits._
@@ -116,7 +120,7 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     val postBySeg = post.groupByKey(_.segment)
 
     val bigramAvg = if (stats.numDocs > 0)
-      (stats.numTokens - stats.numDocs).toFloat / stats.numDocs.toFloat
+      math.max(stats.numTokens - stats.numDocs, 1L).toFloat / stats.numDocs.toFloat
     else 1.0f
     val trigramAvg = if (stats.numDocs > 0)
       math.max(stats.numTokens - 2L * stats.numDocs, 1L).toFloat / stats.numDocs.toFloat

@@ -165,7 +165,8 @@ object SegmentMerge {
       }
       val fnArr = fnArrs(Fields.Content)
       require(fnArr.length == nDocs, s"fnorm length ${fnArr.length} != $nDocs docs in merged seg $seg")
-      val bigramAvg = if (nDocs > 0) (nTokens - nDocs).toFloat / nDocs.toFloat else 1.0f
+      val bigramAvg = if (nDocs > 0)
+        math.max(nTokens - nDocs, 1L).toFloat / nDocs.toFloat else 1.0f
       val trigramAvg = if (nDocs > 0)
         math.max(nTokens - 2L * nDocs, 1L).toFloat / nDocs.toFloat else 1.0f
 

@@ -17,19 +17,40 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: docs sharing any of `bands` band
     * signatures. Shuffle is keyed by (band, signature) — a classic
-    * bucket join; no quadratic blow-up. */
+    * bucket join; no quadratic blow-up across buckets, and
+    * `maxBucketSize` drops degenerate buckets (boilerplate-identical
+    * shingle minima) whose within-bucket pairing would be quadratic.
+    *
+    * Cost shape: ONE tokenize+shingle+md5 pass per document (explode +
+    * partial-agg min; the per-band column form recomputes the lambda
+    * subtree per band because Spark CSE skips lambda-bearing trees),
+    * then band signatures are `bands` disjoint slices of that single
+    * md5 — independent 32-bit hash functions at 1/bands the hash work. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id") +:
-      (0 until bands).map(j =>
-        TextOps.minhashBand(col(textCol), j, shingleN).as(s"b$j")): _*)
+                        bands: Int = 4, shingleN: Int = 3,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
+      .select(col("id"), md5(col("s").cast("binary")).as("h"))
+    // map-side combine collapses to one row per (doc, band) pre-shuffle
+    val bandCols = (0 until bands).map(j =>
+      min(TextOps.bandSlice(col("h"), j, bands)).as(s"b$j"))
+    val sigs = hashed.groupBy("id").agg(bandCols.head, bandCols.tail: _*)
     val long = sigs.select(col("id"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"), col(s"b$j").as("sig"))): _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.sig"))
       .where(col("sig").isNotNull)
-    val a = long.as("a")
-    val b = long.as("b")
+    val pruned =
+      if (maxBucketSize == Int.MaxValue) long
+      else {
+        val hot = long.groupBy("band", "sig")
+          .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+          .select("band", "sig")
+        long.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      }
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b, expr("a.band = b.band AND a.sig = b.sig AND a.id < b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -69,11 +90,21 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Exact n-gram Jaccard over candidate pairs that share at least one
-    * shingle (the join prunes the quadratic space). */
+    * shingle (the join prunes the quadratic space). `maxShingleDf` drops
+    * shingles appearing in more than that many documents BEFORE the
+    * self-join — one hot shingle otherwise produces O(df^2) pairs, the
+    * scale-killer at web scale. The similarity becomes Jaccard over the
+    * pruned (discriminative) shingle universe: set sizes are computed
+    * after the prune so the formula stays a true Jaccard there. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, minJaccard: Double = 0.1): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+                   shingleN: Int = 3, minJaccard: Double = 0.1,
+                   maxShingleDf: Int = 1000): DataFrame = {
+    val shAll = df.select(col(idCol).as("id"),
         explode(array_distinct(TextOps.shingles(col(textCol), shingleN))).as("sh"))
+    // hot-shingle prune: the df > cap set is small by construction
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxShingleDf).select("sh")
+    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("x").join(sh.as("y"),
         expr("x.sh = y.sh AND x.id < y.id"))

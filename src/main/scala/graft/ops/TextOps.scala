@@ -41,18 +41,35 @@ object TextOps {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
 
   /** n-token shingles via posexplode-free column ops: transform over
-    * index range, null-trimmed. */
+    * index range. Docs with fewer than n tokens yield an empty array
+    * (sequence(1, count<=0) would produce a descending range whose
+    * negative indices crash slice at runtime — guarded explicitly). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(sequence(lit(0), count - 1),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val count = size(toks) - (n - 1)
+    when(count > 0,
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature component j: min over shingles of
-    * md5(j:shingle) (lexicographic min of hex = deterministic hash min,
-    * identically computable in any engine with md5). */
-  def minhashBand(text: Column, j: Int, shingleN: Int = 3): Column =
+  /** MinHash band signature j of a single md5 per shingle: the 128-bit
+    * md5 hex splits into `bands` disjoint slices, each an independent
+    * hash function (lexicographic min of hex = deterministic hash min,
+    * identically computable in any engine with md5 + substr). Up to 4
+    * bands of 8 hex chars (32 bits) each. */
+  def bandSlice(md5Hex: Column, j: Int, bands: Int): Column = {
+    require(bands >= 1 && bands <= 4, s"1..4 bands supported, got $bands")
+    val width = 32 / bands
+    substring(md5Hex, j * width + 1, width)
+  }
+
+  /** MinHash signature component j (single-row column form; prefer the
+    * explode/agg path in Dedup.minhashCandidates for large corpora —
+    * lambda-bearing subtrees are excluded from Spark's common-
+    * subexpression elimination, so per-band column recompute costs
+    * bands x the shingle work). */
+  def minhashBand(text: Column, j: Int, shingleN: Int = 3, bands: Int = 4): Column =
     array_min(transform(shingles(text, shingleN),
-      s => md5(concat(lit(s"$j:"), s).cast("binary"))))
+      s => bandSlice(md5(s.cast("binary")), j, bands)))
 }

@@ -23,11 +23,22 @@ object LiveIndex {
 
   def batchIdOf(segment: Int): Long = (segment - LiveBase) / SegsPerBatch
 
-  /** Append one micro-batch as SegsPerBatch mini-segments + manifests. */
+  /** Append one micro-batch as SegsPerBatch mini-segments + manifests.
+    *
+    * foreachBatch is only at-least-once, so the append must be
+    * idempotent on replay: data is staged (overwrite), adopted into the
+    * live data dir under deterministic per-batch file names (replacing
+    * any partial earlier adoption), and a batch marker commits last —
+    * a marker present means the batch is fully in, so the replay
+    * becomes a no-op and a crash at any earlier point converges to
+    * exactly one copy (the reference's WAL replay gives the same
+    * guarantee, live_index/index.rs:109-151). */
   def appendBatch(batch: Dataset[SourceDoc], batchId: Long, dir: String,
                   cfg: IndexBuilder.Config = IndexBuilder.Config()): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val tag = s"live$batchId"
+    if (IndexBuilder.batchCommitted(dir, tag)) return
     if (batch.isEmpty) return
     val base = LiveBase + (batchId * SegsPerBatch).toInt
     val tagged = batch.map { d =>
@@ -36,7 +47,9 @@ object LiveIndex {
         IndexBuilder.sortKeyOf(d.repo, d.path, d.commit),
         d.repo, d.path, d.commit, d.lang, d.content)
     }
-    IndexBuilder.writeSegments(tagged, SegsPerBatch * 2, dir, cfg)
+    val staged = s"${IndexBuilder.stagingDir(dir)}/$tag"
+    IndexBuilder.writeSegments(tagged, SegsPerBatch * 2, staged, cfg)
+    IndexBuilder.adoptStaged(staged, dir, tag)
     // manifests (lineage + makes the mini-segments visible as committed)
     val stats = spark.read.parquet(s"${IndexBuilder.dataDir(dir)}/kind=stat")
       .select("stat.*").as[SegStatRow]
@@ -47,6 +60,7 @@ object LiveIndex {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
         IndexBuilder.manifestDir(dir), f"seg-${s.segment}%07d.json"), json)
     }
+    IndexBuilder.commitBatch(dir, tag, s""""batchId":$batchId""")
   }
 
   /** Start the streaming ingestion: one mini-segment group per

@@ -47,6 +47,28 @@ class IndexPipelineSpec extends AnyFunSuite {
     assert(again.numDocs == 800)
   }
 
+  test("final 1-doc segment in a partition is not dropped (ADVICE r1 high)") {
+    import spark.implicits._
+    // one partition, sorted: 9 docs of segment 0, then a single doc of
+    // segment 1 — the 1-doc final segment is consumed exactly at the
+    // previous segment's flush boundary, the case the old
+    // SegmentEmitter.hasNext silently dropped
+    val rows = (0 until 9).map(i =>
+      IndexBuilder.Tagged(0, 1000L - i, "r", s"p$i", "c", "en",
+        s"alpha beta doc$i content")) :+
+      IndexBuilder.Tagged(1, 1L, "r", "solo", "c", "en", "solo gamma text")
+    val staged = tmpDir()
+    IndexBuilder.writeSegments(spark.createDataset(rows), 1, staged,
+      IndexBuilder.Config(numSegments = 2))
+    val out = tmpDir()
+    IndexBuilder.adoptStaged(staged, out, "b0")
+    val idx = new InvertedIndex(spark, out)
+    assert(idx.docs.count() == 10)
+    val seg1 = idx.segStats.filter(_.segment == 1).collect()
+    assert(seg1.length == 1 && seg1.head.numDocs == 1)
+    assert(idx.docs.filter(_.segment == 1).count() == 1)
+  }
+
   test("per-row sha256 fidelity vs ingest") {
     import spark.implicits._
     val fromIndex = index.docs.map(d => (d.repo, d.path, d.sha256))

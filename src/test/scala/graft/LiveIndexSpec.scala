@@ -15,6 +15,24 @@ class LiveIndexSpec extends AnyFunSuite {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("appendBatch replay is idempotent (foreachBatch is at-least-once)") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => Corpus.mkDoc(i, 7L, skew = false))
+    val dir = tmpDir("graftreplay")
+    new java.io.File(IndexBuilder.manifestDir(dir)).mkdirs()
+    val ds = spark.createDataset(docs)
+    LiveIndex.appendBatch(ds, 0L, dir)
+    assert(new InvertedIndex(spark, dir).stats.numDocs == 50)
+    // full replay (marker present) -> no-op
+    LiveIndex.appendBatch(ds, 0L, dir)
+    assert(new InvertedIndex(spark, dir).stats.numDocs == 50)
+    // crash-before-marker replay (data adopted, marker missing) -> the
+    // re-adoption replaces the earlier files instead of duplicating
+    java.nio.file.Files.delete(IndexBuilder.batchMarkerPath(dir, "live0"))
+    LiveIndex.appendBatch(ds, 0L, dir)
+    assert(new InvertedIndex(spark, dir).stats.numDocs == 50)
+  }
+
   test("micro-batch ingest == batch build; compaction preserves results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -74,6 +74,34 @@ class OpsSpec extends AnyFunSuite {
       Seq("media_id", "frame", "frame_bytes", "features"))
   }
 
+  test("shingles on docs shorter than n: empty array, no crash (ADVICE r1)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "x"), (4L, "a b c d")).toDF("id", "text")
+    val sh = df.select(col("id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty && sh(3L).isEmpty)
+    assert(sh(4L) == Seq("a b c", "b c d"))
+    // the downstream ops must not crash on short docs
+    assert(Dedup.minhashCandidates(df, "id", "text").collect().isEmpty)
+    assert(Dedup.ngramJaccard(df, "id", "text", 3, 0.1).collect().isEmpty)
+  }
+
+  test("ngramJaccard hot-shingle df-cap prunes without changing rare pairs") {
+    import spark.implicits._
+    // docs 1/2 share rare shingles; every doc shares the hot boilerplate
+    val boiler = "lorem ipsum dolor sit amet"
+    val df = (
+      Seq((1L, s"alpha beta gamma delta $boiler"),
+          (2L, s"alpha beta gamma delta epsilon $boiler")) ++
+      (3L to 40L).map(i => (i, s"unique$i distinct$i token$i $boiler"))
+    ).toDF("id", "text")
+    val capped = Dedup.ngramJaccard(df, "id", "text", 3, 0.05, maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // boilerplate-only pairs are gone; the genuinely-similar pair survives
+    assert(capped.contains((1L, 2L)))
+    assert(capped.length < 40 * 39 / 2)
+  }
+
   test("shingles + fingerprint column ops") {
     import spark.implicits._
     val df = Seq((1L, "a b c d")).toDF("id", "text")
