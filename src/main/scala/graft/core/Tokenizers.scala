@@ -127,6 +127,103 @@ object Tokenizers {
     }
   }
 
+  /** Receiver of streamed tokens from `tokenizeInto` — the
+    * zero-allocation fast path of the index build. */
+  trait TokenSink {
+    /** An ASCII [0-9A-Za-z]+ run of `text`; the receiver must case-fold
+      * each char with `(c | 0x20)` (maps A-Z to a-z, leaves a-z and
+      * digits unchanged — the exact `normalize` result for this class). */
+    def asciiToken(text: String, start: Int, end: Int, pos: Int): Unit
+    /** A fully-normalized token string. */
+    def token(s: String, pos: Int): Unit
+  }
+
+  // single-char ASCII tokens (punctuation etc.) are interned once
+  private val AsciiSingles: Array[String] =
+    Array.tabulate(128)(i => String.valueOf(i.toChar))
+
+  // ASCII char classes: 1 = whitespace, 2 = token char, 3 = single-char token
+  private val AsciiClass: Array[Byte] = Array.tabulate(128) { c =>
+    if (Character.isWhitespace(c) || Character.isSpaceChar(c)) 1.toByte
+    else if (isTokenChar(c)) 2.toByte
+    else 3.toByte
+  }
+
+  /** Streaming variant of `default`: delivers each token to `sink`
+    * without materializing Strings for ASCII content (the dominant case
+    * for a source-code corpus — tokens arrive as (text, start, end)
+    * slices to be |0x20-folded, single-char punctuation arrives
+    * interned). Non-ASCII chunks fall back to the exact `default`
+    * pipeline. Token ORDER, VALUES and COUNT are identical to
+    * `default(text)` (property-tested in TokenizerSpec). Returns the
+    * token count. */
+  def tokenizeInto(text: String, sink: TokenSink): Int = {
+    if (text == null || text.isEmpty) return 0
+    var pos = 0
+    val n = text.length
+    var i = 0
+    var start = -1
+    var ascii = true
+    while (i < n) {
+      val ch = text.charAt(i)
+      if (ch < 0x80) {
+        if (AsciiClass(ch) == 1) {
+          if (start >= 0) {
+            pos = processChunk(text, start, i, ascii, sink, pos)
+            start = -1; ascii = true
+          }
+        } else if (start < 0) start = i
+        i += 1
+      } else {
+        val cp = text.codePointAt(i)
+        val cc = Character.charCount(cp)
+        if (Character.isWhitespace(cp) || Character.isSpaceChar(cp)) {
+          if (start >= 0) {
+            pos = processChunk(text, start, i, ascii, sink, pos)
+            start = -1; ascii = true
+          }
+        } else {
+          if (start < 0) start = i
+          ascii = false
+        }
+        i += cc
+      }
+    }
+    if (start >= 0) pos = processChunk(text, start, n, ascii, sink, pos)
+    pos
+  }
+
+  private def processChunk(text: String, cs: Int, ce: Int, ascii: Boolean,
+                           sink: TokenSink, pos0: Int): Int = {
+    var pos = pos0
+    if (ascii) {
+      var i = cs
+      var runStart = -1
+      while (i < ce) {
+        val c = text.charAt(i)
+        if (AsciiClass(c) == 2) { if (runStart < 0) runStart = i }
+        else {
+          if (runStart >= 0) {
+            sink.asciiToken(text, runStart, i, pos); pos += 1; runStart = -1
+          }
+          sink.token(AsciiSingles(c), pos); pos += 1
+        }
+        i += 1
+      }
+      if (runStart >= 0) { sink.asciiToken(text, runStart, ce, pos); pos += 1 }
+    } else {
+      val tmp = new java.util.ArrayList[String](8)
+      splitChunk(text.substring(cs, ce), tmp)
+      var k = 0
+      while (k < tmp.size) {
+        val t = normalize(tmp.get(k))
+        if (t.nonEmpty) { sink.token(t, pos); pos += 1 }
+        k += 1
+      }
+    }
+    pos
+  }
+
   /** Default tokens with a stopword filter (reference:
     * default.rs:32-38 with_stopwords). */
   def defaultWithStopwords(text: String, stopwords: Set[String]): Array[String] =

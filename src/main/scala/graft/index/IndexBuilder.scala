@@ -134,6 +134,168 @@ object IndexBuilder {
     var pos: graft.core.BlockCodec.ByteBuf = null
   }
 
+  /** Segment-lifetime term accumulator: ONE open-addressing table maps
+    * term -> posting buffer AND carries the per-doc state (count, last
+    * position), so the hot loop allocates nothing for known terms — no
+    * per-doc HashMap, no boxed counts, no token Strings on the ASCII
+    * fast path (lookup folds (text,start,end) slices in place; a String
+    * is materialized once per DISTINCT term per segment). Positions are
+    * gap-vint-encoded inline at arrival (same byte format as before).
+    * This is the allocation fix for the build's memory-bandwidth wall
+    * at high thread counts (the reference's indexer writes into a
+    * term-interned arena for the same reason, indexing.rs:38-39). */
+  private final class TermTable(recordPositions: Boolean)
+      extends graft.core.Tokenizers.TokenSink {
+    private var cap = 1 << 12
+    private var mask = cap - 1
+    private var keys = new Array[String](cap)
+    private var hashes = new Array[Int](cap)
+    private var bufs = new Array[PostBuf](cap)
+    private var cnts = new Array[Int](cap)
+    private var lastPos = new Array[Int](cap)
+    private var size = 0
+    private val touched = new IntBuf(256)
+
+    def numTerms: Int = size
+
+    def clear(): Unit = {
+      java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(bufs.asInstanceOf[Array[AnyRef]], null)
+      // cnts/lastPos are zeroed by endDoc; touched is drained there too
+      size = 0
+    }
+
+    @inline private def fold(c: Char): Char = (c | 0x20).toChar
+
+    private def grow(): Unit = {
+      val oldKeys = keys; val oldHashes = hashes; val oldBufs = bufs
+      val oldCnts = cnts; val oldLast = lastPos; val oldCap = cap
+      cap <<= 1; mask = cap - 1
+      keys = new Array[String](cap); hashes = new Array[Int](cap)
+      bufs = new Array[PostBuf](cap); cnts = new Array[Int](cap)
+      lastPos = new Array[Int](cap)
+      var i = 0
+      while (i < oldCap) {
+        val k = oldKeys(i)
+        if (k != null) {
+          var idx = oldHashes(i) & mask
+          while (keys(idx) != null) idx = (idx + 1) & mask
+          keys(idx) = k; hashes(idx) = oldHashes(i); bufs(idx) = oldBufs(i)
+          cnts(idx) = oldCnts(i); lastPos(idx) = oldLast(i)
+        }
+        i += 1
+      }
+      // remap touched slot ids (mid-doc growth)
+      var t = 0
+      while (t < touched.n) {
+        val k = oldKeys(touched.arr(t))
+        var idx = k.hashCode & mask
+        while (keys(idx) ne k) idx = (idx + 1) & mask
+        touched.arr(t) = idx
+        t += 1
+      }
+    }
+
+    @inline private def hit(idx: Int, pos: Int): Unit = {
+      if (cnts(idx) == 0) { touched.add(idx); lastPos(idx) = 0 }
+      cnts(idx) += 1
+      if (recordPositions) {
+        val pb = bufs(idx)
+        if (pb.pos == null) pb.pos = new graft.core.BlockCodec.ByteBuf(8)
+        var v = pos - lastPos(idx)
+        lastPos(idx) = pos
+        var done = false
+        while (!done) {
+          val b = v & 0x7f
+          v >>>= 7
+          if (v == 0) { pb.pos.write(b | 0x80); done = true } else pb.pos.write(b)
+        }
+      }
+    }
+
+    private def insert(idx: Int, key: String, h: Int, pos: Int): Unit = {
+      keys(idx) = key; hashes(idx) = h; bufs(idx) = new PostBuf
+      cnts(idx) = 0; lastPos(idx) = 0
+      size += 1
+      hit(idx, pos)
+      if (size * 2 > cap) grow()
+    }
+
+    def asciiToken(text: String, start: Int, end: Int, pos: Int): Unit = {
+      var h = 0
+      var i = start
+      while (i < end) { h = 31 * h + fold(text.charAt(i)); i += 1 }
+      var idx = h & mask
+      var k = keys(idx)
+      while (k != null) {
+        if (hashes(idx) == h && k.length == end - start) {
+          var j = 0
+          var eq = true
+          while (eq && j < k.length) {
+            if (k.charAt(j) != fold(text.charAt(start + j))) eq = false
+            j += 1
+          }
+          if (eq) { hit(idx, pos); return }
+        }
+        idx = (idx + 1) & mask
+        k = keys(idx)
+      }
+      val a = new Array[Char](end - start)
+      var j = 0
+      while (j < a.length) { a(j) = fold(text.charAt(start + j)); j += 1 }
+      insert(idx, new String(a), h, pos)
+    }
+
+    def token(s: String, pos: Int): Unit = {
+      val h = s.hashCode
+      var idx = h & mask
+      var k = keys(idx)
+      while (k != null) {
+        if (hashes(idx) == h && k.equals(s)) { hit(idx, pos); return }
+        idx = (idx + 1) & mask
+        k = keys(idx)
+      }
+      insert(idx, s, h, pos)
+    }
+
+    /** Close the current doc: append (docId, tf) per touched term. */
+    def endDoc(docId: Int): Unit = {
+      var i = 0
+      while (i < touched.n) {
+        val idx = touched.arr(i)
+        val pb = bufs(idx)
+        pb.docs.add(docId)
+        pb.tfs.add(cnts(idx))
+        cnts(idx) = 0
+        i += 1
+      }
+      touched.n = 0
+    }
+
+    /** Sorted (term, buffer) snapshot — safe to keep after clear(). */
+    def sortedEntries(): (Array[String], Array[PostBuf]) = {
+      val terms = new Array[String](size)
+      val out = new Array[PostBuf](size)
+      var i = 0
+      var o = 0
+      while (i < cap) {
+        if (keys(i) != null) { terms(o) = keys(i); o += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(terms, java.util.Comparator.naturalOrder[String]())
+      i = 0
+      while (i < size) {
+        val h = terms(i).hashCode
+        var idx = h & mask
+        while (!(keys(idx) eq terms(i)) && !(hashes(idx) == h && keys(idx).equals(terms(i))))
+          idx = (idx + 1) & mask
+        out(i) = bufs(idx)
+        i += 1
+      }
+      (terms, out)
+    }
+  }
+
   def manifestDir(outDir: String) = s"$outDir/manifest"
   def dataDir(outDir: String) = s"$outDir/data"
   def stagingDir(outDir: String) = s"$outDir/staging"
@@ -309,7 +471,7 @@ object IndexBuilder {
     private var fnorms = new java.io.ByteArrayOutputStream()
     private var fnormsBigram = new java.io.ByteArrayOutputStream()
     private var fnormsTrigram = new java.io.ByteArrayOutputStream()
-    private var postings = new java.util.HashMap[String, PostBuf]()
+    private val table = new TermTable(recordPositions)
     private var numTokens = 0L
     private var shaAgg = new Array[Byte](32)
 
@@ -344,7 +506,7 @@ object IndexBuilder {
       fnorms = new java.io.ByteArrayOutputStream()
       fnormsBigram = new java.io.ByteArrayOutputStream()
       fnormsTrigram = new java.io.ByteArrayOutputStream()
-      postings = new java.util.HashMap[String, PostBuf]()
+      table.clear() // flush() snapshotted its entries; buffers survive
       numTokens = 0L
       shaAgg = new Array[Byte](32)
     }
@@ -376,68 +538,22 @@ object IndexBuilder {
       }
     }
 
-    // reused per-doc scratch (cleared each doc; IntBufs pooled) — the
-    // naive fresh-HashMap-per-doc variant dominated allocation at high
-    // thread counts
-    private val perDoc = new java.util.HashMap[String, IntBuf]()
-    private var bufPool = new java.util.ArrayDeque[IntBuf]()
-
     private def addDoc(t: Tagged): Unit = {
       val docId = docs.length
-      val toks = Tokenizers.default(t.content)
-      val nTok = toks.length
-      if (recordPositions) {
-        // per-doc positions per term, appended to the segment buffers
-        perDoc.clear()
-        forEachTerm(toks) { (term, p) =>
-          var b = perDoc.get(term)
-          if (b == null) {
-            b = bufPool.poll()
-            if (b == null) b = new IntBuf(4) else b.n = 0
-            perDoc.put(term, b)
-          }
-          b.add(p)
+      // the TermTable carries per-doc counts + inline position encoding,
+      // so the content-only configuration streams tokens with ZERO
+      // allocation for known terms (no per-doc map, no token Strings on
+      // the ASCII path); shadow fields need materialized tokens and go
+      // through the same table via the default tokenizer
+      val nTok =
+        if (!indexStemmed && !indexBigrams && !indexTrigrams)
+          Tokenizers.tokenizeInto(t.content, table)
+        else {
+          val toks = Tokenizers.default(t.content)
+          forEachTerm(toks)((term, p) => table.token(term, p))
+          toks.length
         }
-        val eit = perDoc.entrySet().iterator()
-        while (eit.hasNext) {
-          val e = eit.next()
-          var pb = postings.get(e.getKey)
-          if (pb == null) {
-            pb = new PostBuf
-            pb.pos = new graft.core.BlockCodec.ByteBuf(8)
-            postings.put(e.getKey, pb)
-          }
-          pb.docs.add(docId)
-          pb.tfs.add(e.getValue.n)
-          var j = 0
-          var prev = 0
-          while (j < e.getValue.n) {
-            var v = e.getValue.arr(j) - prev
-            prev = e.getValue.arr(j)
-            var done = false
-            while (!done) {
-              val b = v & 0x7f
-              v >>>= 7
-              if (v == 0) { pb.pos.write(b | 0x80); done = true } else pb.pos.write(b)
-            }
-            j += 1
-          }
-          bufPool.offer(e.getValue) // recycle
-        }
-      } else {
-        val tf = new java.util.HashMap[String, Int](nTok * 2)
-        forEachTerm(toks) { (term, _) =>
-          tf.put(term, tf.getOrDefault(term, 0) + 1)
-        }
-        val eit = tf.entrySet().iterator()
-        while (eit.hasNext) {
-          val e = eit.next()
-          var pb = postings.get(e.getKey)
-          if (pb == null) { pb = new PostBuf; postings.put(e.getKey, pb) }
-          pb.docs.add(docId)
-          pb.tfs.add(e.getValue)
-        }
-      }
+      table.endDoc(docId)
       val fnId = FieldNorm.fieldNormToId(nTok.toLong)
       fnorms.write(fnId & 0xff)
       if (indexBigrams)
@@ -457,17 +573,15 @@ object IndexBuilder {
       // lazily after reset() repoints the mutable fields
       val seg = curSeg
       val segDocs = docs
-      val segPostings = postings
+      val (terms, termBufs) = table.sortedEntries()
       val segTokens = numTokens
       val segShaHex = hex(shaAgg)
       val nDocs = segDocs.length
       val fnArr = fnorms.toByteArray
       val avgFn = if (nDocs == 0) 1.0f else segTokens.toFloat / nDocs.toFloat
-      val terms = segPostings.keySet().toArray(new Array[String](segPostings.size))
-      java.util.Arrays.sort(terms, java.util.Comparator.naturalOrder[String]())
       var totalPostings = 0L
       locally { var i = 0
-        while (i < terms.length) { totalPostings += segPostings.get(terms(i)).docs.n; i += 1 } }
+        while (i < terms.length) { totalPostings += termBufs(i).docs.n; i += 1 } }
       val buildMs = (System.nanoTime() - t0) / 1000000
 
       val docRows = segDocs.iterator.map(d =>
@@ -481,8 +595,9 @@ object IndexBuilder {
             java.util.Arrays.copyOfRange(fnArr, off, end))), None)
       } ++ extraFnRows(seg, Fields.Bigram, bigramFnArr, nDocs, fnChunk) ++
         extraFnRows(seg, Fields.Trigram, trigramFnArr, nDocs, fnChunk)
-      val postRows = terms.iterator.flatMap { term =>
-        val pb = segPostings.get(term)
+      val postRows = terms.indices.iterator.flatMap { ti =>
+        val term = terms(ti)
+        val pb = termBufs(ti)
         val df = pb.docs.n
         // shadow fields score against their own fieldnorms + averages
         val field = Fields.fieldOf(term)

@@ -48,6 +48,46 @@ class TokenizerSpec extends AnyFunSuite {
       default(s) // must not throw
     }
   }
+
+  private def viaSink(s: String): (Seq[String], Int) = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val n = Tokenizers.tokenizeInto(s, new Tokenizers.TokenSink {
+      def asciiToken(text: String, start: Int, end: Int, pos: Int): Unit = {
+        assert(pos == out.length, s"pos $pos != ${out.length} in '$s'")
+        val a = new Array[Char](end - start)
+        var i = 0
+        while (i < a.length) { a(i) = (text.charAt(start + i) | 0x20).toChar; i += 1 }
+        out += new String(a)
+      }
+      def token(t: String, pos: Int): Unit = {
+        assert(pos == out.length, s"pos $pos != ${out.length} in '$s'")
+        out += t
+      }
+    })
+    (out.toSeq, n)
+  }
+
+  test("tokenizeInto == default: order, values, count (property)") {
+    val fixed = Seq(
+      "this is a relatively simple123 test    string",
+      "example.com", "a c++ blog post", "path/test", "test 漢.com",
+      "Hello WORLD", "café", "", " ", "  a  ", "MiXeD CaSe 42x",
+      "tab\tsep\nnewline", "ünïcode mix ascii", "日本語テキスト solo",
+      "trailing.", ".leading", "1234567890", "_und_er_", "a-b-c")
+    val rnd = new scala.util.Random(1234)
+    val randoms = (0 until 3000).map { _ =>
+      if (rnd.nextBoolean()) { // ascii-ish (the fast path)
+        val chars = "abcXYZ019 .+/\t_-$#"
+        String.valueOf(Array.fill(rnd.nextInt(48))(chars.charAt(rnd.nextInt(chars.length))))
+      } else rnd.nextString(rnd.nextInt(48))
+    }
+    (fixed ++ randoms).foreach { s =>
+      val (toks, n) = viaSink(s)
+      val ref = default(s).toSeq
+      assert(toks == ref, s"mismatch for ${s.take(60).toList}")
+      assert(n == ref.length)
+    }
+  }
 }
 
 class FieldNormSpec extends AnyFunSuite {
