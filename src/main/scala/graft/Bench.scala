@@ -112,7 +112,7 @@ object Bench {
     //     with an early exit once the gate is comfortably met.
     def runScaling(): String = {
       val n = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
-      val pairs = sys.env.getOrElse("GRAFT_BENCH_PAIRS", "3").toInt
+      val pairs = sys.env.getOrElse("GRAFT_BENCH_PAIRS", "5").toInt
       val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
       val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "420").toLong
       val deadlineMs = System.currentTimeMillis() + budgetSec * 1000L
@@ -182,14 +182,20 @@ object Bench {
     val batchPerQuery = (System.nanoTime() - tb0) / 1e9 / batchQs.size
 
     // scaling last: the cheap sections are done before the expensive
-    // fresh-JVM builds, and the budget bounds the worst case
-    if (scaling) extra = runScaling()
+    // fresh-JVM builds, and the budget bounds the worst case. Stop the
+    // parent SparkSession FIRST — its multi-GB executor heap and block
+    // manager threads otherwise contend with the measured children
+    // (observed: 0.73 with the parent session live vs 0.83-0.89 without).
+    if (scaling) {
+      spark.stop()
+      extra = runScaling()
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"query_p50_sec":$p50%.4f,"query_p95_sec":$p95%.4f,"query_batch_amortized_sec":$batchPerQuery%.4f$extra}""")
-    spark.stop()
+    if (!scaling) spark.stop()
   }
 }

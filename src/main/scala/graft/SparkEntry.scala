@@ -48,7 +48,8 @@ object SparkEntry {
         .map { case (id, src, lang, text) => SourceDoc(id.toString, src, "", lang, text) }
       val out = java.nio.file.Files.createTempDirectory("graftentry").toString
       IndexBuilder.build(s, docs, out,
-        IndexBuilder.Config(numSegments = 4, indexStemmed = true, indexBigrams = true))
+        IndexBuilder.Config(numSegments = 4, indexStemmed = true,
+          indexBigrams = true, computeSimhash = true))
       new InvertedIndex(s, out)
     })
 
@@ -56,10 +57,25 @@ object SparkEntry {
     s.createDataFrame(hits.map(h => (h.rank, h.repo.toLong, h.score.toDouble)).toSeq)
       .toDF("rank", "doc_id", "score")
 
+  /** Engine hits with equal-score ties re-ranked canonically by
+    * (score desc, doc_id asc): the engine's own tie order is its
+    * internal (segment, docId) DocAddress — meaningless outside the
+    * index — while the DuckDB oracle can only order by doc_id. Scores
+    * and membership are untouched (the boundary tie-freeness at the
+    * driver SF is asserted by the oracle compare itself: a boundary tie
+    * would flip membership and fail the hash). */
+  private def canonicalHitsDF(s: SparkSession, hits: Array[graft.index.Hit]): DataFrame =
+    s.createDataFrame(
+      hits.map(h => (h.repo.toLong, h.score.toDouble))
+        .sortBy(t => (-t._2, t._1))
+        .zipWithIndex
+        .map { case ((id, sc), i) => (i + 1, id, sc) }.toSeq)
+      .toDF("rank", "doc_id", "score")
+
   /** Flagship: transient index over `documents`, one WAND query. */
   private def indexWandTopK(s: SparkSession, dir: String): DataFrame = {
     val idx = docIndex(s, dir)
-    hitsDF(s, idx.search("table merge window group data", 20, "or"))
+    canonicalHitsDF(s, idx.search("table merge window group data", 20, "or"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -302,11 +318,22 @@ object SparkEntry {
       val raw = idx.searchPrefix("wind", 20)
       hitsDF(s, idx.resolve(raw, raw.length))
     }),
+    "q_engine_dedup" -> ((s, d) => {
+      // BucketCollector: site/url/title penalty dedup + simhash drain
+      val idx = docIndex(s, d)
+      hitsDF(s, idx.searchDeduped("table merge data", 20))
+    }),
     "q_engine_approx" -> ((s, d) => {
       import s.implicits._
       val idx = docIndex(s, d)
       val (hits, count, saturated) = idx.searchApprox("table row", 10, 50)
       Seq((hits.length.toLong, count, saturated)).toDF("hits", "count", "saturated")
+    }),
+    "q_simhash_pairs" -> ((s, d) => {
+      // near-dup pairs via the 4-block prefix bucket join (no all-pairs)
+      Dedup.simhashPairs(s, t(s, d, "documents").where(col("doc_id") < 2000),
+          "doc_id", "text")
+        .orderBy("id_a", "id_b")
     }),
     "q_simhash" -> ((s, d) => {
       Dedup.withSimhash(s, t(s, d, "documents").where(col("doc_id") < 100),
@@ -334,6 +361,56 @@ object SparkEntry {
         .orderBy("media_id")
     })
   )
+
+  /** DuckDB oracle replicating the ENGINE's BM25 bit-for-bit, so the
+    * full index path (tokenize -> segment build -> posting codec ->
+    * block-max WAND -> merge) is verified end-to-end by the driver, not
+    * just by ScalaTest. Float32 fidelity: DuckDB REAL arithmetic is
+    * native f32 (verified: FLOAT ops stay FLOAT and bit-match JVM f32),
+    * the u8 log-quantized fieldnorm table is inlined as VALUES and dl
+    * maps to its lower bound exactly like FieldNorm.fieldNormToId, idf
+    * is ln() in double cast back to REAL (same shape as Bm25.idf), and
+    * per-term scores sum in query-term (ord) order — the engine's
+    * bit-identity summation order. Scores are emitted UNROUNDED: any
+    * replication drift fails the hash loudly. Corpus precondition:
+    * document text is [a-z0-9 ] so the engine's default tokenizer
+    * equals whitespace split (holds for the driver testdata). */
+  private def engineBm25OracleSql(terms: Seq[String], k: Int): String = {
+    val fnValues = graft.core.FieldNorm.Table.map(v => s"($v)").mkString(",")
+    val termList = terms.map(t => s"'$t'").mkString(",")
+    // f32 per-(doc,term) score: weight * tf / (tf + k1*(1-b + b*fn/avg))
+    val scoreExpr =
+      """(CAST(ln(CAST(1.0::REAL + ((CAST(st.n - dfq.df AS REAL) + 0.5::REAL)
+        |    / (CAST(dfq.df AS REAL) + 0.5::REAL)) AS DOUBLE)) AS REAL) * 2.2::REAL)
+        |  * (CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL)
+        |     + 1.2::REAL * (0.25::REAL + 0.75::REAL * CAST(fnid.fn AS REAL) / st.avg)))""".stripMargin
+    // ord-order f32 sum: absent terms add 0.0f (exact identity)
+    val sumExpr = terms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0::REAL)")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              CAST((SELECT count(*) FROM tok) AS REAL)
+       |                / CAST((SELECT count(*) FROM documents) AS REAL) AS avg),
+       |fnt AS (SELECT * FROM (VALUES $fnValues) t(v)),
+       |fnid AS (SELECT d.doc_id, max(f.v) AS fn
+       |         FROM dl d JOIN fnt f ON f.v <= d.dl GROUP BY 1),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($termList) GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       |        WHERE term IN ($termList) GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term, $scoreExpr AS s
+       |       FROM tf JOIN dfq USING (term)
+       |       JOIN fnid ON fnid.doc_id = tf.doc_id, st),
+       |tot AS (SELECT doc_id, $sumExpr AS score FROM sc GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |       doc_id, CAST(score AS DOUBLE) AS score
+       |FROM tot ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** Relational BM25 (the exact-oracle scoring path): tf/df/dl/avgdl via
     * joins + aggregates, k1=1.2 b=0.75, double precision, round(4). */
@@ -599,6 +676,8 @@ object SparkEntry {
         |       FROM scored)
         |SELECT probe_id, nbr_id, cos, rnk FROM rk WHERE rnk <= 3
         |ORDER BY probe_id, rnk""".stripMargin,
+    "q_index_wand" -> engineBm25OracleSql(
+      Seq("table", "merge", "window", "group", "data"), 20),
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

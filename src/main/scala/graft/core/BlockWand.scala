@@ -281,6 +281,29 @@ object BlockWand {
     }
   }
 
+  /** Count-only union walk (no fieldnorm/score work) — the exact match
+    * count for the unsaturated ApproxCount path. */
+  def unionCount(cursors: Seq[TermCursor]): Long = {
+    val s = cursors.toArray
+    var count = 0L
+    while (true) {
+      var m = Terminated
+      var i = 0
+      while (i < s.length) {
+        if (s(i).doc < m) m = s(i).doc
+        i += 1
+      }
+      if (m == Terminated) return count
+      count += 1
+      i = 0
+      while (i < s.length) {
+        if (s(i).doc == m) s(i).advance()
+        i += 1
+      }
+    }
+    count
+  }
+
   /** Union scan with a custom score combiner — DisjunctionMax support
     * (reference disjunction_max_query.rs: score = max over clauses +
     * tieBreaker * sum of the rest). */

@@ -463,3 +463,30 @@ final class ChainedCursor(shards: Array[PostingsCursor]) extends TermCursor {
   def score: Float = shards(cur).score
   override def positions: Array[Int] = shards(cur).positions
 }
+
+/** Doc-id-horizon view of a cursor: docs >= maxDoc are invisible. This
+  * is the ShortCircuit early-termination primitive (reference
+  * shortcircuit.rs:1-60): segment doc ids are dense in
+  * precomputed-score order, so [0, maxDoc) IS the segment's top-maxDoc
+  * static-rank slice, and a budgeted query = WAND over the truncated
+  * cursors — the traversal stays fully pruned (block skips intact;
+  * partial-block max scores remain valid upper bounds). */
+final class TruncatedCursor(inner: TermCursor, maxDoc: Int) extends TermCursor {
+  final val Terminated = Int.MaxValue
+  def doc: Int = { val d = inner.doc; if (d >= maxDoc) Terminated else d }
+  def maxScore: Float = inner.maxScore
+  def docFreq: Int = inner.docFreq
+  def lastDocInBlock: Int = inner.lastDocInBlock
+  def shallowSeek(target: Int): Unit = inner.shallowSeek(target)
+  def blockMaxScore: Float = inner.blockMaxScore
+  def seek(target: Int): Int = {
+    val d = inner.seek(target)
+    if (d >= maxDoc) Terminated else d
+  }
+  def advance(): Int = {
+    val d = inner.advance()
+    if (d >= maxDoc) Terminated else d
+  }
+  def score: Float = inner.score
+  override def positions: Array[Int] = inner.positions
+}

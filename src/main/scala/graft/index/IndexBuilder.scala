@@ -46,7 +46,11 @@ object IndexBuilder {
       recordPositions: Boolean = true,
       indexStemmed: Boolean = false,
       indexBigrams: Boolean = false,
-      indexTrigrams: Boolean = false)
+      indexTrigrams: Boolean = false,
+      /** store a 64-bit SimHash per doc for the BucketCollector's
+        * near-dup drain (costs a token re-walk; off for the north-rule
+        * build config). */
+      computeSimhash: Boolean = false)
 
   final case class BuildReport(numDocs: Long, numTokens: Long,
                                segmentsBuilt: Int, segmentsSkipped: Int,
@@ -436,13 +440,15 @@ object IndexBuilder {
     val stemmedF = cfg.indexStemmed
     val bigramF = cfg.indexBigrams
     val trigramF = cfg.indexTrigrams
+    val simhashF = cfg.computeSimhash
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
       .sortWithinPartitions(col("segment"), col("sortKey").desc,
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
-        new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF, trigramF)
+        new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF,
+          trigramF, simhashF)
       }
       .write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(stageOut)
@@ -462,7 +468,8 @@ object IndexBuilder {
   private final class SegmentEmitter(it: Iterator[Tagged], maxShard: Int,
                                      fnChunk: Int, recordPositions: Boolean,
                                      indexStemmed: Boolean, indexBigrams: Boolean,
-                                     indexTrigrams: Boolean)
+                                     indexTrigrams: Boolean,
+                                     computeSimhash: Boolean)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
@@ -545,12 +552,14 @@ object IndexBuilder {
       // allocation for known terms (no per-doc map, no token Strings on
       // the ASCII path); shadow fields need materialized tokens and go
       // through the same table via the default tokenizer
+      var simhash = 0L
       val nTok =
-        if (!indexStemmed && !indexBigrams && !indexTrigrams)
+        if (!indexStemmed && !indexBigrams && !indexTrigrams && !computeSimhash)
           Tokenizers.tokenizeInto(t.content, table)
         else {
           val toks = Tokenizers.default(t.content)
           forEachTerm(toks)((term, p) => table.token(term, p))
+          if (computeSimhash) simhash = graft.ops.Dedup.simhash64(toks)
           toks.length
         }
       table.endDoc(docId)
@@ -565,7 +574,7 @@ object IndexBuilder {
       var i = 0
       while (i < 32) { shaAgg(i) = (shaAgg(i) ^ sha(i)).toByte; i += 1 }
       docs += DocRow(curSeg, docId, t.repo, t.path, t.commit, t.lang, hex(sha),
-        nTok, fnId, t.sortKey)
+        nTok, fnId, t.sortKey, simhash)
     }
 
     private def flush(): Iterator[BuildRow] = {

@@ -361,6 +361,44 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     topk.sorted.iterator.map(h => (seg, h.doc, h.score))
   }
 
+  /** Bucket-deduped search (reference BucketCollector,
+    * collector/top_docs.rs:247-361): per-segment candidates fan in with
+    * slack, then site/url/title bucket penalties divide each remaining
+    * candidate's score as results are taken
+    * (1 / (1 + Σ takenCount·penalty)) and simhash near-duplicates drain
+    * to the back, filling only leftover slots. Web buckets map to the
+    * code corpus as repo=site, repo/path=url, path=url-sans-tld,
+    * file name=title. */
+  def searchDeduped(query: String, k: Int, mode: String = "or"): Array[Hit] = {
+    val fetchK = k * math.max(stats.numSegments, 1) * 4
+    val raw = searchBatchRaw(Seq(("q", query, fetchK, mode, Nil)))("q")
+    if (raw.isEmpty) return Array.empty
+    val hitDS = spark.createDataset(raw.toSeq).toDF("segment", "docId", "score")
+    val segs = raw.map(_._1).distinct.toSeq
+    val joined = docs.filter($"segment".isin(segs: _*))
+      .join(broadcast(hitDS), Seq("segment", "docId"))
+      .select($"segment", $"docId", $"repo", $"path", $"simhash")
+      .collect()
+    val info = joined.map(r => (r.getInt(0), r.getInt(1)) ->
+      (r.getString(2), r.getString(3), r.getLong(4))).toMap
+    val cands = raw.map { case (seg, d, sc) =>
+      val (repo, path, sh) = info((seg, d))
+      (seg, d, sc, repo, path, sh)
+    }
+    val coll = new BucketCollector[(Int, Int, Float, String, String, Long)](k,
+      c => c._3.toDouble,
+      c => DocHashes(
+        IndexBuilder.fnv1a64("site:" + c._4),
+        IndexBuilder.fnv1a64("url:" + c._4 + "/" + c._5),
+        IndexBuilder.fnv1a64("path:" + c._5),
+        IndexBuilder.fnv1a64("title:" + c._5.substring(c._5.lastIndexOf('/') + 1)),
+        c._6))
+    cands.foreach(coll.insert) // already (score desc, segment, docId) order
+    coll.sortedResults(deRankSimilar = true).zipWithIndex.map { case (c, i) =>
+      Hit(i + 1, c._1, c._2, c._3, c._4, c._5)
+    }.toArray
+  }
+
   /** Fuzzy query (reference fuzzy_query.rs — Levenshtein automaton over
     * the term dictionary): expand to terms within `maxDist` edits,
     * cheap length prefilter first so the distance runs on few rows. */
@@ -376,12 +414,17 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
 
   /** Approximate budgeted search (the ShortCircuitQuery + max-docs
     * path, reference shortcircuit.rs + top_docs.rs:100-124): each
-    * segment stops scoring after `maxDocsPerSegment` matching docs.
-    * Because doc ids are precomputed-score-sorted within a segment
-    * (the index-wide invariant), the truncated prefix is the
-    * highest-static-rank slice. Returns (hits, matchCount, saturated);
-    * when saturated, matchCount is the term-independence estimate
-    * N * prod(df_i / N) (approx_count.rs:169-179). */
+    * segment only considers its top `maxDocsPerSegment` docs by static
+    * rank — because doc ids are precomputed-score-sorted within a
+    * segment (the index-wide invariant), that prefix is exactly
+    * docId < budget, and the query runs as block-max WAND over
+    * horizon-TRUNCATED cursors: the budgeted path stays fully pruned
+    * (it is the one path that should be cheapest — round-1 review
+    * flagged the old exhaustive-scan-under-budget as an anti-pattern).
+    * Returns (hits, matchCount, saturated); when saturated, matchCount
+    * is the term-independence estimate N * prod(df_i / N)
+    * (approx_count.rs:169-179); when not, the exact union count via a
+    * score-free walk. */
   def searchApprox(query: String, k: Int, maxDocsPerSegment: Int)
       : (Array[(Int, Int, Float)], Long, Boolean) = {
     val terms = queryTerms(query)
@@ -415,7 +458,7 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
       terms.foreach(t => est *= dfs.getOrElse(t, 0L).toDouble / N.toDouble)
       math.round(est)
     }
-    val hits = perSeg.map(r => (r._1, r._2, r._3))
+    val hits = perSeg.filter(_._2 >= 0).map(r => (r._1, r._2, r._3))
       .sortBy(t => (-t._3, t._1, t._2))(
         Ordering.Tuple3(Ordering.Float.TotalOrdering, Ordering.Int, Ordering.Int))
       .take(k)
@@ -428,24 +471,26 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
                             k: Int, budget: Int)
       : Iterator[(Int, Int, Float, Int, Boolean)] = {
     val byTerm = plist.groupBy(_.term)
-    val cursors = byTerm.toSeq.sortBy(_._1).map { case (t, rows) =>
+    def cursors(): Seq[TermCursor] = byTerm.toSeq.sortBy(_._1).map { case (t, rows) =>
       val wt = new Bm25Weight(weights(t), avgFn)
       val fnA = fnArrs(Fields.Content)
       val sorted = rows.sortBy(_.shard)
       if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, wt)
       else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, wt)))
     }
+    val nDocs = fnArrs(Fields.Content).length
+    val saturated = nDocs > budget
+    val cs: Seq[TermCursor] =
+      if (saturated) cursors().map(new TruncatedCursor(_, budget)) else cursors()
     val topk = new TopK(k)
-    var matched = 0
-    var saturated = false
-    val it = new scala.util.control.Breaks
-    it.breakable {
-      BlockWand.exhaustiveUnion(cursors, (d, s) => {
-        topk.push(d, s)
-        matched += 1
-        if (matched >= budget) { saturated = true; it.break() }
-      })
-    }
-    topk.sorted.iterator.map(h => (seg, h.doc, h.score, matched, saturated))
+    BlockWand.run(cs, Float.MinValue, (d, s) => topk.push(d, s))
+    // exact in-segment match count only when the horizon didn't bite
+    // (otherwise the caller reports the collection-level estimate and
+    // this walk would defeat the short circuit)
+    val matched = if (saturated) 0 else BlockWand.unionCount(cursors()).toInt
+    // sentinel row (doc = -1) carries count/saturation even when the
+    // horizon leaves this segment with no top-k hits
+    Iterator.single((seg, -1, 0.0f, matched, saturated)) ++
+      topk.sorted.iterator.map(h => (seg, h.doc, h.score, matched, saturated))
   }
 }

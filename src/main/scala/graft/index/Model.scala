@@ -12,7 +12,8 @@ final case class SourceDoc(repo: String, path: String, commit: String,
   * reference: crates/core/src/inverted_index/mod.rs:195-204). */
 final case class DocRow(segment: Int, docId: Int, repo: String, path: String,
                         commit: String, lang: String, sha256: String,
-                        numTokens: Int, fieldNormId: Byte, sortKey: Long)
+                        numTokens: Int, fieldNormId: Byte, sortKey: Long,
+                        simhash: Long = 0L)
 
 /** One posting list row. `shard` > 0 marks docId-range shards of a hot
   * term (skew bound: no single row/task ever holds more than

@@ -89,6 +89,31 @@ object Dedup {
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
 
+  /** Distributed SimHash near-duplicate pairs (hamming <= k) via the
+    * block-prefix bucket join (graft.core.SimhashTable's pigeonhole:
+    * two hashes within k bit flips agree exactly on one of k+1 disjoint
+    * 16-bit slices). Each doc emits k+1 (block, prefix) keys; only
+    * same-bucket candidates are compared — no all-pairs join, the scale
+    * path for corpus-level near-dup at web scale. */
+  def simhashPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String, k: Int = 3): DataFrame = {
+    require(k == graft.core.SimhashTable.K, "block layout is fixed for k=3")
+    val sigs = withSimhash(spark, df, idCol, textCol)
+    val keyed = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until graft.core.SimhashTable.NumBlocks).map { i =>
+        struct(lit(i).as("b"),
+          col("simhash").bitwiseAND(lit(graft.core.SimhashTable.mask(i))).as("p"))
+      }: _*)).as("bp"))
+      .select(col("id"), col("simhash"), col("bp.b"), col("bp.p"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, expr("a.b = b.b AND a.p = b.p AND a.id < b.id"))
+      .where(hamming(col("a.simhash"), col("b.simhash")) <= k)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).cast("int").as("dist"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard over candidate pairs that share at least one
     * shingle (the join prunes the quadratic space). `maxShingleDf` drops
     * shingles appearing in more than that many documents BEFORE the

@@ -40,6 +40,20 @@ class OpsSpec extends AnyFunSuite {
     assert(!cands.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("simhashPairs == brute-force hamming pairs (block bucket join)") {
+    val df = docs.limit(150)
+    val pairs = Dedup.simhashPairs(spark, df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.withSimhash(spark, df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(pairs == brute)
+    assert(brute.nonEmpty, "test corpus should contain near-dups")
+  }
+
   test("cosine self-similarity == 1") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.where(col("vec_id") === 3).head().getSeq[Float](1).toArray

@@ -113,6 +113,21 @@ class QueryOpsSpec extends AnyFunSuite {
     assert(gotTop.zip(wantTop).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("ShortCircuit: pruned budgeted WAND == exhaustive over the same horizon") {
+    val budget = 25
+    val q = "spark data table"
+    val (hits, _, sat) = index.searchApprox(q, 10, budget)
+    assert(sat)
+    // oracle: all exhaustive matches, truncated at the per-segment
+    // doc-id horizon, merged with the engine tie-break
+    val all = index.searchRaw(q, Int.MaxValue, "exhaustive")
+    val want = all.filter(_._2 < budget)
+      .sortBy(t => (-t._3, t._1, t._2))(
+        Ordering.Tuple3(Ordering.Float.TotalOrdering, Ordering.Int, Ordering.Int))
+      .take(10)
+    assert(hits.toSeq == want.toSeq)
+  }
+
   test("budgeted hits come from the high-static-rank prefix") {
     val budget = 10
     val (hits, _, sat) = index.searchApprox("the", 5, budget)
