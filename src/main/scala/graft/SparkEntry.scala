@@ -145,24 +145,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "q_bigrams" -> ((s, d) => {
-      val pos = t(s, d, "documents")
-        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      pos.withColumn("nxt", lead("term", 1).over(w))
-        .where(col("nxt").isNotNull)
-        .select(concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+      // adjacent pairs via the shuffle-free array transform (the old
+      // posexplode + window-lead plan paid a full per-doc shuffle+sort)
+      t(s, d, "documents")
+        .select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(30)
     }),
 
     "q_phrase_match" -> ((s, d) => {
-      // relational face of PhraseQuery: adjacent-position intersection
-      val pos = t(s, d, "documents")
-        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      pos.withColumn("nxt", lead("term", 1).over(w))
-        .where(col("term") === "data" && col("nxt") === "table")
-        .groupBy("doc_id").agg(count(lit(1)).as("phrase_freq"))
+      // relational face of PhraseQuery: adjacency via the shuffle-free
+      // shingle transform, counted per doc in place
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(filter(TextOps.shingles(col("text"), 2),
+            sh => sh === "data table")).cast("long").as("phrase_freq"))
+        .where(col("phrase_freq") > 0)
         .orderBy("doc_id")
     }),
     "q_count_estimate" -> ((s, d) => {
@@ -301,6 +299,13 @@ object SparkEntry {
           "embedding", 3)
         .orderBy("probe_id", "rnk")
     }),
+    "q_embed_lsh_knn" -> ((s, d) => {
+      // ANN scale path: sign-LSH bucket join + exact within-bucket rerank
+      val emb = t(s, d, "embeddings")
+      Similarity.lshKnnJoin(emb, emb.where(col("vec_id") < 10), "vec_id",
+          "embedding", 3, dim = 64, bits = 8)
+        .orderBy("probe_id", "rnk")
+    }),
 
     // ---- engine-native (non-SQL-expressible; rows-only gate) ----
     "q_index_wand" -> ((s, d) => indexWandTopK(s, d)),
@@ -317,6 +322,23 @@ object SparkEntry {
       val idx = docIndex(s, d)
       val raw = idx.searchPrefix("wind", 20)
       hitsDF(s, idx.resolve(raw, raw.length))
+    }),
+    "q_engine_bm25f" -> ((s, d) => {
+      // shared-idf per-field weighted scoring over content+stemmed+bigram
+      val idx = docIndex(s, d)
+      val raw = idx.searchBm25F("table merge window", 20)
+      canonicalHitsDF(s, idx.resolve(raw, raw.length))
+    }),
+    "q_engine_bool" -> ((s, d) => {
+      // Must/Should/MustNot tree with RequiredOptionalScorer semantics
+      import graft.core.BooleanQuery._
+      val idx = docIndex(s, d)
+      val tree = Bool(
+        must = Seq(or(Term("table"), Term("data"))),
+        should = Seq(Term("merge")),
+        mustNot = Seq(and(Term("slow"), Term("batch"))))
+      val raw = idx.searchBool(factor(tree), 20)
+      canonicalHitsDF(s, idx.resolve(raw, raw.length))
     }),
     "q_engine_dedup" -> ((s, d) => {
       // BucketCollector: site/url/title penalty dedup + simhash drain
@@ -361,6 +383,36 @@ object SparkEntry {
         .orderBy("media_id")
     })
   )
+
+  /** DuckDB oracle for the LSH kNN join: the hash-derived hyperplanes
+    * are inlined as double-list literals (float->double is exact and
+    * DuckDB's list_dot_product folds in array order like the Spark
+    * `aggregate(zip_with(...))` — proven bit-equal by q_embed_cosine),
+    * so bucket assignment and the within-bucket rerank replicate
+    * exactly. */
+  private def lshKnnOracleSql(k: Int, dim: Int, bits: Int): String = {
+    def planeList(b: Int): String =
+      Similarity.plane(b, dim).map(f => f.toDouble.toString).mkString("[", ",", "]")
+    val bucketExpr = (0 until bits).map { b =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeList(b)}) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
+       |           FROM b WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id AS nbr_id,
+       |         round(list_dot_product(p.pe::DOUBLE[], e.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(p.pe::DOUBLE[], p.pe::DOUBLE[])) *
+       |            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cos
+       |  FROM probes p JOIN b e ON e.bucket = p.bucket AND e.vec_id <> p.probe_id),
+       |rk AS (SELECT probe_id, nbr_id, cos,
+       |              ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                                 ORDER BY cos DESC, nbr_id) AS rnk
+       |       FROM scored)
+       |SELECT probe_id, nbr_id, cos, rnk FROM rk WHERE rnk <= $k
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
 
   /** DuckDB oracle replicating the ENGINE's BM25 bit-for-bit, so the
     * full index path (tokenize -> segment build -> posting codec ->
@@ -416,11 +468,15 @@ object SparkEntry {
     * joins + aggregates, k1=1.2 b=0.75, double precision, round(4). */
   private def relationalBm25(s: SparkSession, d: String, terms: Seq[String],
                              k: Int): DataFrame = {
-    val tk = tokensDF(s, d)
-    val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE tokenize/explode pass: tf is cached and dl/df/avgdl all derive
+    // from it (the old plan re-derived the exploded view three times
+    // plus two extra driver actions — 5 passes over documents)
+    val tf = tokensDF(s, d).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf")).cache()
+    val statsRow = tf.agg(sum("tf"), countDistinct("doc_id")).head()
+    val avgdl = statsRow.getLong(0).toDouble / statsRow.getLong(1).toDouble
     val n = t(s, d, "documents").count().toDouble
-    val avgdl = dl.agg(avg("dl")).head().getDouble(0)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.where(col("term").isin(terms: _*))
       .join(dfreq, "term").join(dl, "doc_id")
@@ -676,6 +732,7 @@ object SparkEntry {
         |       FROM scored)
         |SELECT probe_id, nbr_id, cos, rnk FROM rk WHERE rnk <= 3
         |ORDER BY probe_id, rnk""".stripMargin,
+    "q_embed_lsh_knn" -> lshKnnOracleSql(3, 64, 8),
     "q_index_wand" -> engineBm25OracleSql(
       Seq("table", "merge", "window", "group", "data"), 20),
     "q_multimodal" ->

@@ -29,9 +29,44 @@ object Bm25 {
   }
 }
 
+/** Scoring interface a posting cursor needs from its term's weight. */
+trait TermWeight extends Serializable {
+  def score(fieldNormId: Byte, termFreq: Int): Float
+  def maxScore: Float
+}
+
+/** BM25F per-(term,field) weight (re-derivation of the reference's
+  * Bm25FWeight, crates/core/src/ranking/bm25f.rs:129-180): shared idf
+  * across fields (doc freq approximated by the AllBody/content field,
+  * bm25f.rs:27-50) with the field's own average fieldnorm, and the
+  * field coefficient scaling the term frequency INSIDE the saturation:
+  * score = idf * (tf*c*(k1+1)) / (tf*c + k1*(1-b+b*fieldnorm/avg)). */
+final class Bm25FWeight(val idfWeight: Float, avgFieldNorm: Float,
+                        val coefficient: Float) extends TermWeight {
+  private val cache: Array[Float] = {
+    val c = new Array[Float](256)
+    var id = 0
+    while (id < 256) {
+      val fn = FieldNorm.idToFieldNorm(id).toFloat
+      c(id) = Bm25.K1 * (1.0f - Bm25.B + Bm25.B * fn / avgFieldNorm)
+      id += 1
+    }
+    c
+  }
+
+  def score(fieldNormId: Byte, termFreq: Int): Float = {
+    if (termFreq == 0) return 0.0f
+    val tf = termFreq.toFloat * coefficient
+    idfWeight * (tf * (Bm25.K1 + 1.0f)) / (tf + cache(fieldNormId & 0xff))
+  }
+
+  /** Supremum over tf (the factor tends to k1+1). */
+  def maxScore: Float = idfWeight * (Bm25.K1 + 1.0f)
+}
+
 /** Per-term BM25 weight with the 256-entry tf-component cache
   * (reference: Bm25Weight, crates/tantivy/src/query/bm25.rs:79-196). */
-final class Bm25Weight(val weight: Float, val avgFieldNorm: Float) extends Serializable {
+final class Bm25Weight(val weight: Float, val avgFieldNorm: Float) extends TermWeight {
   private val cache: Array[Float] = {
     val c = new Array[Float](256)
     var id = 0

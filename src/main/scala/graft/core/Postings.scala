@@ -207,7 +207,7 @@ trait TermCursor {
   * SegmentPostings + SkipReader + TermScorer bundle. Doc ids emitted are
   * `docIdBase`-shifted. TERMINATED == Int.MaxValue. */
 final class PostingsCursor(val data: PostingListData, fnorms: Array[Byte],
-                           val queryWeight: Bm25Weight) extends TermCursor {
+                           val queryWeight: TermWeight) extends TermCursor {
   import BlockCodec.BlockSize
   final val Terminated = Int.MaxValue
 

@@ -50,7 +50,11 @@ object IndexBuilder {
       /** store a 64-bit SimHash per doc for the BucketCollector's
         * near-dup drain (costs a token re-walk; off for the north-rule
         * build config). */
-      computeSimhash: Boolean = false)
+      computeSimhash: Boolean = false,
+      /** index repo/path/lang metadata as identity/tokenized shadow
+        * fields so query-grammar operators (site:/repo:, inurl:/path:,
+        * intitle:/file:, exacturl:, lang:) lower to index terms. */
+      indexMeta: Boolean = false)
 
   final case class BuildReport(numDocs: Long, numTokens: Long,
                                segmentsBuilt: Int, segmentsSkipped: Int,
@@ -441,6 +445,7 @@ object IndexBuilder {
     val bigramF = cfg.indexBigrams
     val trigramF = cfg.indexTrigrams
     val simhashF = cfg.computeSimhash
+    val metaF = cfg.indexMeta
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
@@ -448,7 +453,7 @@ object IndexBuilder {
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
         new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF,
-          trigramF, simhashF)
+          trigramF, simhashF, metaF)
       }
       .write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(stageOut)
@@ -469,7 +474,8 @@ object IndexBuilder {
                                      fnChunk: Int, recordPositions: Boolean,
                                      indexStemmed: Boolean, indexBigrams: Boolean,
                                      indexTrigrams: Boolean,
-                                     computeSimhash: Boolean)
+                                     computeSimhash: Boolean,
+                                     indexMeta: Boolean)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
@@ -562,6 +568,20 @@ object IndexBuilder {
           if (computeSimhash) simhash = graft.ops.Dedup.simhash64(toks)
           toks.length
         }
+      if (indexMeta) {
+        // metadata shadow terms (positions meaningless: all at 0; these
+        // fields never run phrases and do not count into content stats)
+        table.token(Fields.repoTerm(t.repo), 0)
+        table.token(Fields.langTerm(t.lang), 0)
+        table.token(Fields.exactTerm(t.repo, t.path), 0)
+        val pToks = Tokenizers.default(t.path)
+        var pi = 0
+        while (pi < pToks.length) { table.token(Fields.urlTerm(pToks(pi)), 0); pi += 1 }
+        val base = t.path.substring(t.path.lastIndexOf('/') + 1)
+        val bToks = Tokenizers.default(base)
+        pi = 0
+        while (pi < bToks.length) { table.token(Fields.titleTerm(bToks(pi)), 0); pi += 1 }
+      }
       table.endDoc(docId)
       val fnId = FieldNorm.fieldNormToId(nTok.toLong)
       fnorms.write(fnId & 0xff)

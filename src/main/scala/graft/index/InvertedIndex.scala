@@ -265,21 +265,68 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     * smart quotes), `-term` negation, plain terms -> OR. Returns
     * (query-without-minus, mode, minusTerms). */
   def parse(q: String): (String, String, Seq[String]) = {
+    val (body, mode, minus, _) = parseOps(q)
+    (body, mode, minus)
+  }
+
+  /** Lower one `op:value` token to metadata-field index terms
+    * (reference operator lowering, plan/node.rs:128-172; web operators
+    * mapped to the code corpus — site->repo, url->path, title->file
+    * name). Requires an index built with Config.indexMeta. */
+  private def lowerOp(op: String, v: String): Option[Seq[String]] = op match {
+    case "site" | "repo"          => Some(Seq(Fields.repoTerm(v)))
+    case "lang"                   => Some(Seq(Fields.langTerm(v.toLowerCase)))
+    case "exacturl" | "exactpath" =>
+      val slash = v.indexOf('/')
+      if (slash < 0) Some(Seq(Fields.ExactPrefix + v.toLowerCase))
+      else Some(Seq(Fields.exactTerm(v.substring(0, slash), v.substring(slash + 1))))
+    case "inurl" | "path"         => Some(Tokenizers.default(v).map(Fields.urlTerm).toSeq)
+    case "intitle" | "file"       => Some(Tokenizers.default(v).map(Fields.titleTerm).toSeq)
+    case "inbody"                 => Some(Tokenizers.default(v).toSeq)
+    case _                        => None
+  }
+
+  /** Full parse: (body, mode, minusTerms, loweredOpTerms). */
+  def parseOps(q: String): (String, String, Seq[String], Seq[String]) = {
     val trimmed = q.trim
     val quotes = Set('"', '“', '”')
     if (trimmed.length >= 2 && quotes.contains(trimmed.head) && quotes.contains(trimmed.last))
-      (trimmed.substring(1, trimmed.length - 1), "phrase", Nil)
-    else {
-      val parts = trimmed.split("\\s+").filter(_.nonEmpty)
-      val (neg, pos) = parts.partition(p => p.length > 1 && p.charAt(0) == '-')
-      (pos.mkString(" "), "or", neg.map(_.substring(1)).toSeq)
+      return (trimmed.substring(1, trimmed.length - 1), "phrase", Nil, Nil)
+    val parts = trimmed.split("\\s+").filter(_.nonEmpty)
+    val neg = scala.collection.mutable.ArrayBuffer[String]()
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    val plain = scala.collection.mutable.ArrayBuffer[String]()
+    parts.foreach { p =>
+      if (p.length > 1 && p.charAt(0) == '-') neg += p.substring(1)
+      else {
+        val colon = p.indexOf(':')
+        val lowered =
+          if (colon > 0 && colon < p.length - 1)
+            lowerOp(p.substring(0, colon).toLowerCase, p.substring(colon + 1))
+          else None
+        lowered match {
+          case Some(ts) => ops ++= ts
+          case None => plain += p
+        }
+      }
     }
+    (plain.mkString(" "), "or", neg.toSeq, ops.toSeq)
   }
 
-  /** Parse + search in one call. */
+  /** Parse + search in one call. Field operators lower to metadata-term
+    * MUST clauses of a boolean tree (RequiredOptionalScorer: plain
+    * terms stay optional but scoring). */
   def searchParsed(q: String, k: Int): Array[Hit] = {
-    val (body, mode, minus) = parse(q)
-    search(body, k, mode, minus)
+    val (body, mode, minus, ops) = parseOps(q)
+    if (ops.isEmpty) search(body, k, mode, minus)
+    else {
+      val tree = BooleanQuery.Bool(
+        must = ops.map(BooleanQuery.Term.apply),
+        should = queryTerms(body).toSeq.map(BooleanQuery.Term.apply),
+        mustNot = minus.flatMap(m => queryTerms(m)).distinct
+          .map(BooleanQuery.Term.apply))
+      resolve(searchBool(tree, k), k)
+    }
   }
 
   /** Term-dictionary scan: all distinct terms matching a predicate
@@ -359,6 +406,174 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     val topk = new TopK(k)
     BlockWand.run(cursors, Float.MinValue, (d, s) => topk.push(d, s))
     topk.sorted.iterator.map(h => (seg, h.doc, h.score))
+  }
+
+  /** Boolean query trees (reference boolean_weight.rs:112-147 +
+    * reqopt_scorer.rs): arbitrary Must/Should/MustNot nesting with
+    * RequiredOptionalScorer semantics — required clauses gate matching,
+    * optional clauses add score when they co-match. Traversal drives on
+    * the union of positive leaves per segment in ascending doc order;
+    * per candidate the tree evaluates against monotone cursor seeks.
+    * Apply BooleanQuery.factor first for the (A|B)&(A|C) -> A|(B&C)
+    * planner rewrite. */
+  def searchBool(node: BooleanQuery.Node, k: Int): Array[(Int, Int, Float)] = {
+    val terms = BooleanQuery.allTerms(node)
+    val posTerms = BooleanQuery.positiveTerms(node).toSet
+    if (posTerms.isEmpty || stats.numDocs == 0) return Array.empty
+    val dfs = dfOf(terms)
+    val N = stats.numDocs
+    val avgFn = stats.avgFieldNorm
+    val weights = dfs.map { case (t, df) => t -> (Bm25.idf(df, N) * (1.0f + Bm25.K1)) }
+    val bW = spark.sparkContext.broadcast(weights)
+    val bNode = spark.sparkContext.broadcast(node)
+    val bPos = spark.sparkContext.broadcast(posTerms)
+
+    def boolSegment(seg: Int, plist: Array[PostingRow], fnArrs: Map[Int, Array[Byte]])
+        : Iterator[(Int, Int, Float)] = {
+      val fnA = fnArrs(Fields.Content)
+      val cursors: Map[String, TermCursor] =
+        plist.groupBy(_.term).map { case (t, rows) =>
+          val wt = new Bm25Weight(bW.value(t), avgFn)
+          val sorted = rows.sortBy(_.shard)
+          t -> (if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, wt)
+                else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, wt))))
+        }
+      val drivers = cursors.filter(c => bPos.value.contains(c._1)).values.toArray
+      if (drivers.isEmpty) return Iterator.empty
+      @inline def contains(c: TermCursor, doc: Int): Boolean =
+        c.doc == doc || (c.doc < doc && c.seek(doc) == doc)
+      val topk = new TopK(k)
+      var cand = Int.MaxValue
+      drivers.foreach(c => if (c.doc < cand) cand = c.doc)
+      while (cand != BlockWand.Terminated) {
+        val doc = cand
+        val (m, s) = BooleanQuery.evaluate(bNode.value, t =>
+          cursors.get(t) match {
+            case Some(c) if contains(c, doc) => Some(c.score)
+            case _ => None
+          })
+        if (m) topk.push(doc, s)
+        cand = Int.MaxValue
+        drivers.foreach { c =>
+          val d = if (c.doc == doc) c.advance() else c.doc
+          if (d < cand) cand = d
+        }
+      }
+      topk.sorted.iterator.map(h => (seg, h.doc, h.score))
+    }
+
+    val post = postings.filter($"term".isin(terms: _*))
+    val perSeg = (residentFnorms match {
+      case Some(bc) =>
+        post.groupByKey(_.segment).flatMapGroups { (seg, ps) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty else boolSegment(seg, plist, bc.value(seg))
+        }
+      case None =>
+        post.groupByKey(_.segment).cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty
+          else boolSegment(seg, plist, assembleFnorms(fs))
+        }
+    }).collect()
+    perSeg.sortBy(t => (-t._3, t._1, t._2))(
+        Ordering.Tuple3(Ordering.Float.TotalOrdering, Ordering.Int, Ordering.Int))
+      .take(k)
+  }
+
+  /** BM25F ranked search (re-derivation of the reference's two-stage
+    * shape: WAND recall first, then the signal computer's per-doc bm25f
+    * over candidates — ranking/computer/mod.rs:145-162 seeks each
+    * field-term posting per candidate doc in ascending doc order). Per
+    * (term, field): shared idf approximated by the CONTENT-field doc
+    * freq of the term text (the reference's AllBody WeightCache,
+    * bm25f.rs:27-50 — an unseen text, e.g. a compound bigram, gets the
+    * rare-term idf), the field's own average fieldnorm, and the field
+    * coefficient scaling tf inside the saturation (Bm25FWeight).
+    * Final score sums over (term, field) in deterministic plan order. */
+  def searchBm25F(query: String, k: Int,
+                  coeffs: Map[Int, Float] = Fields.DefaultBm25fCoeffs)
+      : Array[(Int, Int, Float)] = {
+    val base = Tokenizers.default(query).distinct.take(16).toSeq
+    if (base.isEmpty || stats.numDocs == 0) return Array.empty
+    val fieldTerms: Seq[(String, Int, String)] = // (indexTerm, field, idfText)
+      base.map(t => (t, Fields.Content, t)) ++
+        (if (coeffs.contains(Fields.Stemmed))
+          base.map { t => val s = graft.core.PorterStemmer.stem(t)
+            (Fields.StemPrefix + s, Fields.Stemmed, s) }
+        else Nil) ++
+        (if (coeffs.contains(Fields.Bigram) && base.length >= 2)
+          base.sliding(2).map { p =>
+            (Fields.bigramTerm(p(0), p(1)), Fields.Bigram, p(0) + p(1)) }.toSeq
+        else Nil)
+    // recall stage
+    val fetchK = k * math.max(stats.numSegments, 1) * 4
+    val cands = searchBatchRaw(Seq(("q", query, fetchK, "or+", Nil)))("q")
+    if (cands.isEmpty) return Array.empty
+    val candBySeg: Map[Int, Array[Int]] =
+      cands.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sorted }
+    // shared idf from the content field
+    val dfs = dfOf(fieldTerms.map(_._3).distinct)
+    val N = stats.numDocs
+    val avgFn = stats.avgFieldNorm
+    val bigramAvg = if (N > 0)
+      math.max(stats.numTokens - N, 1L).toFloat / N.toFloat else 1.0f
+    val plan: Seq[(String, Int, Float)] = fieldTerms.map { case (term, field, idfText) =>
+      (term, field, Bm25.idf(dfs.getOrElse(idfText, 0L), N))
+    }
+    val bPlan = spark.sparkContext.broadcast(plan)
+    val bCands = spark.sparkContext.broadcast(candBySeg)
+    val bCoeffs = spark.sparkContext.broadcast(coeffs)
+
+    def scoreSeg(seg: Int, plist: Array[PostingRow], fnArrs: Map[Int, Array[Byte]])
+        : Iterator[(Int, Int, Float)] = {
+      val candDocs = bCands.value.getOrElse(seg, Array.empty)
+      if (candDocs.isEmpty) return Iterator.empty
+      val byTerm = plist.groupBy(_.term)
+      // cursors in plan order => deterministic f32 summation order
+      val cs: Array[(TermCursor, Int)] = bPlan.value.flatMap { case (term, field, idf) =>
+        byTerm.get(term).map { rows =>
+          val av = if (field == Fields.Bigram) bigramAvg else avgFn
+          val w = new Bm25FWeight(idf, av, bCoeffs.value(field))
+          val fnA = fnArrs(Fields.fnormFieldOf(field))
+          val sorted = rows.sortBy(_.shard)
+          val c: TermCursor =
+            if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, w)
+            else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, w)))
+          (c, field)
+        }
+      }.toArray
+      candDocs.iterator.map { doc =>
+        var score = 0.0f
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)._1
+          // posting_contains: ascending re-walk (computer/mod.rs:154-160)
+          if (c.doc == doc || (c.doc < doc && c.seek(doc) == doc)) score += c.score
+          i += 1
+        }
+        (seg, doc, score)
+      }
+    }
+
+    val post = postings.filter($"term".isin(plan.map(_._1): _*))
+    val perSeg = (residentFnorms match {
+      case Some(bc) =>
+        post.groupByKey(_.segment).flatMapGroups { (seg, ps) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty else scoreSeg(seg, plist, bc.value(seg))
+        }
+      case None =>
+        post.groupByKey(_.segment).cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty
+          else scoreSeg(seg, plist, assembleFnorms(fs))
+        }
+    }).collect()
+    perSeg.filter(_._3 > 0.0f)
+      .sortBy(t => (-t._3, t._1, t._2))(
+        Ordering.Tuple3(Ordering.Float.TotalOrdering, Ordering.Int, Ordering.Int))
+      .take(k)
   }
 
   /** Bucket-deduped search (reference BucketCollector,

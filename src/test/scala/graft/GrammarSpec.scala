@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tokenizers
+import graft.index._
+
+/** Query-grammar field operators lowered to metadata-field terms
+  * (reference query/parser/mod.rs:33-120 + plan/node.rs:128-172). */
+class GrammarSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private lazy val corpus = Corpus.generate(spark, 400, seed = 33L).cache()
+  private lazy val index = {
+    val d = java.nio.file.Files.createTempDirectory("graftgr").toString
+    IndexBuilder.build(spark, corpus, d,
+      IndexBuilder.Config(numSegments = 3, indexMeta = true))
+    new InvertedIndex(spark, d)
+  }
+  private lazy val docs = corpus.collect()
+
+  test("site:/repo: restricts to the repo; plain terms rank within it") {
+    val repo = docs.head.repo
+    val hits = index.searchParsed(s"repo:$repo spark", 50)
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.repo == repo))
+    // alias
+    val hits2 = index.searchParsed(s"site:$repo spark", 50)
+    assert(hits.map(h => (h.repo, h.path)).toSeq ==
+      hits2.map(h => (h.repo, h.path)).toSeq)
+    // every doc of that repo matches (plain term is optional)
+    assert(hits.length == docs.count(_.repo == repo))
+  }
+
+  test("lang: filter matches the doc-table language exactly") {
+    val lang = docs.head.lang
+    val hits = index.searchParsed(s"lang:$lang data", 400)
+    val want = docs.filter(_.lang == lang).map(d => (d.repo, d.path)).toSet
+    assert(hits.map(h => (h.repo, h.path)).toSet == want)
+  }
+
+  test("inurl:/path: matches path tokens") {
+    val seg = Tokenizers.default(docs.head.path)
+      .find(t => t.length > 2 && t.forall(_.isLetter)).get
+    val hits = index.searchParsed(s"inurl:$seg", 400)
+    val want = docs.filter(d => Tokenizers.default(d.path).contains(seg))
+      .map(d => (d.repo, d.path)).toSet
+    assert(hits.map(h => (h.repo, h.path)).toSet == want)
+  }
+
+  test("intitle:/file: matches file-name tokens only") {
+    val base = docs.head.path.substring(docs.head.path.lastIndexOf('/') + 1)
+    val tok = Tokenizers.default(base).find(_.length > 2).get
+    val hits = index.searchParsed(s"file:$tok", 400)
+    val want = docs.filter { d =>
+      val b = d.path.substring(d.path.lastIndexOf('/') + 1)
+      Tokenizers.default(b).contains(tok)
+    }.map(d => (d.repo, d.path)).toSet
+    assert(hits.map(h => (h.repo, h.path)).toSet == want)
+  }
+
+  test("exacturl: matches exactly one document") {
+    val d0 = docs.head
+    val hits = index.searchParsed(s"exacturl:${d0.repo}/${d0.path}", 10)
+    assert(hits.length == 1)
+    assert(hits.head.repo == d0.repo && hits.head.path == d0.path)
+  }
+
+  test("operators compose with negation and body terms") {
+    val repo = docs.head.repo
+    val hits = index.searchParsed(s"repo:$repo data -spark", 50)
+    val want = docs.filter { d =>
+      val tf = Tokenizers.termFreqs(d.content)
+      d.repo == repo && !tf.containsKey("spark")
+    }.map(d => (d.repo, d.path)).toSet
+    assert(hits.map(h => (h.repo, h.path)).toSet == want)
+  }
+
+  test("inbody: lowers to a required content term") {
+    val hits = index.searchParsed("inbody:spark", 400)
+    val want = docs.filter(d =>
+      Tokenizers.termFreqs(d.content).containsKey("spark"))
+      .map(d => (d.repo, d.path)).toSet
+    assert(hits.map(h => (h.repo, h.path)).toSet == want)
+  }
+
+  test("plain queries and quoted phrases are unchanged by the op parser") {
+    assert(index.parse("“data table”") == ("data table", "phrase", Nil))
+    assert(index.parse("spark -batch") == ("spark", "or", Seq("batch")))
+    // unknown ops stay plain text (tokenizer splits the colon)
+    val (body, mode, minus, ops) = index.parseOps("weird:thing spark")
+    assert(ops.isEmpty && body == "weird:thing spark" && mode == "or")
+  }
+}

@@ -100,6 +100,65 @@ class MultiFieldSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25F == brute-force shared-idf field-weighted scoring") {
+    import graft.core.{Bm25FWeight, FieldNorm}
+    val q = "merging data tables"
+    val k = 15
+    val got = index.searchBm25F(q, k)
+    assert(got.nonEmpty)
+
+    // brute-force oracle over the raw corpus, mirroring the plan order
+    val base = Tokenizers.default(q).distinct.take(16).toSeq
+    val N = index.stats.numDocs
+    val avgFn = index.stats.avgFieldNorm
+    val bigramAvg = math.max(index.stats.numTokens - N, 1L).toFloat / N.toFloat
+    val coeffs = Fields.DefaultBm25fCoeffs
+    // (idfText, field, tfOf(doc tokens))
+    val plan: Seq[(String, Int, Array[String] => Int)] =
+      base.map { t => (t, Fields.Content,
+        (toks: Array[String]) => toks.count(_ == t)) } ++
+      base.map { t => val s = PorterStemmer.stem(t)
+        (s, Fields.Stemmed,
+          (toks: Array[String]) => toks.count(x => PorterStemmer.stem(x) == s)) } ++
+      base.sliding(2).map { p => (p(0) + p(1), Fields.Bigram,
+        (toks: Array[String]) => toks.sliding(2).count(w =>
+          w.length == 2 && w(0) == p(0) && w(1) == p(1))) }.toSeq
+    // shared idf: content-field df of the idf text
+    val allDocs = corpus.collect().map(d => (d, Tokenizers.default(d.content)))
+    val dfOf: Map[String, Long] = plan.map(_._1).distinct.map { txt =>
+      txt -> allDocs.count(_._2.contains(txt)).toLong
+    }.toMap
+    val weights = plan.map { case (txt, field, tfF) =>
+      (new Bm25FWeight(Bm25.idf(dfOf(txt), N),
+        if (field == Fields.Bigram) bigramAvg else avgFn, coeffs(field)), field, tfF)
+    }
+    val expected: Map[(String, String), Float] = allDocs.map { case (d, toks) =>
+      var score = 0.0f
+      weights.foreach { case (w, field, tfF) =>
+        val tf = tfF(toks)
+        if (tf > 0) {
+          val fnId = field match {
+            case Fields.Bigram => FieldNorm.fieldNormToId(math.max(toks.length - 1, 0).toLong)
+            case _ => FieldNorm.fieldNormToId(toks.length.toLong)
+          }
+          score += w.score(fnId, tf)
+        }
+      }
+      (d.repo, d.path) -> score
+    }.toMap
+    val resolved = index.resolve(got, got.length)
+    resolved.foreach { h =>
+      assert(math.abs(expected((h.repo, h.path)) - h.score) < 1e-5f,
+        s"${h.repo}/${h.path}: got ${h.score}, want ${expected((h.repo, h.path))}")
+    }
+    // top-k multiset of scores must match the brute-force ranking
+    val wantTop = expected.values.toSeq.sortBy(-_.toDouble).take(k)
+    val gotTop = resolved.map(_.score).toSeq
+    wantTop.zip(gotTop).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5f, s"top-k score drift: $a vs $b")
+    }
+  }
+
   test("merge preserves multi-field results") {
     val d2 = tmpDir()
     // rebuild source dir to merge from (merge needs its own copy)

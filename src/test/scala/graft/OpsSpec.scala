@@ -73,6 +73,35 @@ class OpsSpec extends AnyFunSuite {
     assert(b1.except(again).count() == 0)
   }
 
+  test("lshKnnJoin: exact rerank within buckets, high recall on clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 6 tight clusters of 6 vectors: near neighbors share buckets w.h.p.
+    val dim = 64
+    val vecs = (0 until 6).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      (0 until 6).map { m =>
+        val v = center.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f)
+        ((c * 6 + m).toLong, v)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") % 6 === 0)
+    val exact = Similarity.knnJoin(df, probes, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnnJoin(df, probes, "vec_id", "embedding", 3,
+      dim, bits = 8).collect()
+    val approxPairs = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approxPairs).size.toDouble / exact.size
+    assert(recall >= 0.9, s"cluster recall too low: $recall")
+    // rerank correctness: every approx cos equals the exact cosine
+    val exactCos = Similarity.knnJoin(df, probes, "vec_id", "embedding", 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    approx.foreach { r =>
+      assert(exactCos((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
   test("multimodal plumbing: schema, determinism, frame sampling") {
     import spark.implicits._
     val media = Multimodal.synthesize(spark, docs.limit(50), "doc_id", "text")
