@@ -323,6 +323,17 @@ object SparkEntry {
       val raw = idx.searchPrefix("wind", 20)
       hitsDF(s, idx.resolve(raw, raw.length))
     }),
+    "q_engine_signals" -> ((s, d) => {
+      // linear ranking model over the signal framework (explainable)
+      val idx = docIndex(s, d)
+      val ranked = idx.rankSignals("table merge window", 10)
+      import s.implicits._
+      ranked.map { case (h, v) =>
+        (h.rank, h.repo.toLong, math.rint(h.score * 1e4) / 1e4,
+          math.rint(v(graft.core.Signals.Bm25F) * 1e4) / 1e4,
+          math.rint(v(graft.core.Signals.Centrality) * 1e4) / 1e4)
+      }.toSeq.toDF("rank", "doc_id", "total", "bm25f", "centrality")
+    }),
     "q_engine_bm25f" -> ((s, d) => {
       // shared-idf per-field weighted scoring over content+stemmed+bigram
       val idx = docIndex(s, d)
@@ -362,6 +373,42 @@ object SparkEntry {
           "doc_id", "text")
         .select(col("id"), col("simhash").cast("string").as("sig"))
         .orderBy("id")
+    }),
+    "q_json_tokens" -> ((s, d) => {
+      // JsonField index tokens: flattened path.key="value" leaves
+      import s.implicits._
+      t(s, d, "events").where(col("event_id") < 500)
+        .select(col("event_id"), col("props")).as[(Long, String)]
+        .flatMap { case (id, j) =>
+          graft.core.Tokenizers.flattenJson(j).map(tok => (id, tok)) }
+        .toDF("event_id", "token").orderBy("event_id", "token")
+    }),
+    "q_rake" -> ((s, d) => {
+      // corpus-level top key phrases (live index TopKeyPhrases analog):
+      // per-doc RAKE keywords aggregated by phrase
+      import s.implicits._
+      t(s, d, "documents").where(col("doc_id") < 500)
+        .select(col("text")).as[String]
+        .flatMap(txt => graft.core.Rake.keywords(txt).take(5)
+          .map(k => (k.text, k.score)))
+        .toDF("phrase", "score")
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("docs"),
+          round(sum("score"), 4).as("total_score"))
+        .orderBy(col("total_score").desc, col("phrase")).limit(20)
+    }),
+    "q_snippets" -> ((s, d) => {
+      // distributed query-biased snippet generation (typed map face);
+      // the corpus has no sentence punctuation so the oracle reduces to
+      // the length-trim — passage selection/highlighting is gated by
+      // SnippetSpec
+      import s.implicits._
+      t(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.core.Snippets.generate("data table", text).unhighlightedString)
+        }
+        .toDF("doc_id", "snippet").orderBy("doc_id")
     }),
     "q_multimodal" -> ((s, d) => {
       // metadata face (SQL-expressible -> DuckDB oracle); the decoded
@@ -735,6 +782,12 @@ object SparkEntry {
     "q_embed_lsh_knn" -> lshKnnOracleSql(3, 64, 8),
     "q_index_wand" -> engineBm25OracleSql(
       Seq("table", "merge", "window", "group", "data"), 20),
+    "q_json_tokens" ->
+      """SELECT event_id, 'k="' || json_extract_string(props, '$.k') || '"' AS token
+        |FROM events WHERE event_id < 500 ORDER BY event_id, token""".stripMargin,
+    "q_snippets" ->
+      """SELECT doc_id, substr(text, 1, 325) AS snippet
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -201,6 +201,10 @@ trait TermCursor {
   /** Token positions of the term in the current doc (phrase support). */
   def positions: Array[Int] =
     throw new UnsupportedOperationException("positions not recorded")
+  /** Raw (fieldnormId, termFreq) of the current doc — the signal
+    * framework computes several scoring functions from one cursor. */
+  def termFreq: Int = throw new UnsupportedOperationException
+  def fieldNormId: Byte = throw new UnsupportedOperationException
 }
 
 /** Cursor over one posting list — the analog of the reference's
@@ -333,8 +337,8 @@ final class PostingsCursor(val data: PostingListData, fnorms: Array[Byte],
     curDoc
   }
 
-  def termFreq: Int = blockTfs(idx)
-  def fieldNormId: Byte = fnorms(curDoc)
+  override def termFreq: Int = blockTfs(idx)
+  override def fieldNormId: Byte = fnorms(curDoc)
   def score: Float = queryWeight.score(fieldNormId, termFreq)
   def docFreq: Int = data.docFreq
 
@@ -462,6 +466,8 @@ final class ChainedCursor(shards: Array[PostingsCursor]) extends TermCursor {
 
   def score: Float = shards(cur).score
   override def positions: Array[Int] = shards(cur).positions
+  override def termFreq: Int = shards(cur).termFreq
+  override def fieldNormId: Byte = shards(cur).fieldNormId
 }
 
 /** Doc-id-horizon view of a cursor: docs >= maxDoc are invisible. This
@@ -489,4 +495,6 @@ final class TruncatedCursor(inner: TermCursor, maxDoc: Int) extends TermCursor {
   }
   def score: Float = inner.score
   override def positions: Array[Int] = inner.positions
+  override def termFreq: Int = inner.termFreq
+  override def fieldNormId: Byte = inner.fieldNormId
 }

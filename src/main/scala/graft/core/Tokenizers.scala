@@ -264,6 +264,40 @@ object Tokenizers {
     if (text == null) Array.empty
     else text.split("\\s+").iterator.filter(_.nonEmpty).toArray
 
+  /** Flattened JSON leaf tokens (re-derivation of the reference's
+    * FlattenedJson, tokenizer/fields/json.rs:33-97): every leaf becomes
+    * `path.to.key="value"` (null leaves emit the bare key path; array
+    * elements share their parent path; embedded quotes escape). Emitted
+    * in document order (the reference's stack-pop order reverses
+    * siblings — irrelevant for indexing, where tokens form a set). */
+  def flattenJson(json: String): Seq[String] = {
+    if (json == null || json.isEmpty) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = try mapper.readTree(json) catch { case _: Exception => return Nil }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(node: com.fasterxml.jackson.databind.JsonNode, path: List[String]): Unit = {
+      if (node.isObject) {
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          walk(e.getValue, e.getKey :: path)
+        }
+      } else if (node.isArray) {
+        val it = node.elements()
+        while (it.hasNext) walk(it.next(), path)
+      } else {
+        val key = path.reverse.mkString(".")
+        if (node.isNull) out += key
+        else {
+          val v = node.asText().replace("\"", "\\\"")
+          out += s"""$key="$v""""
+        }
+      }
+    }
+    walk(root, Nil)
+    out.toSeq
+  }
+
   /** Term-frequency map over the default tokenizer — the unit emitted per
     * document by the index build. Insertion-order independent. */
   def termFreqs(text: String): java.util.HashMap[String, Int] = {

@@ -408,6 +408,159 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     topk.sorted.iterator.map(h => (seg, h.doc, h.score))
   }
 
+  /** Signal-framework ranking: recall via expanded WAND, then score
+    * candidates with the LINEAR MODEL Σ coeff(signal)·signal (reference
+    * initial.rs:79-93; signal set + transforms in graft.core.Signals).
+    * Query-dependent signals (per-field BM25, BM25F, idf sums,
+    * coverage) compute in one distributed segment pass from raw
+    * (fieldnormId, tf) cursor reads; query-independent ones
+    * (centrality, rank transform, path shape) come from the doc table.
+    * Returns hits with their full signal vectors (the reference's
+    * ranking explainability surface). */
+  def rankSignals(query: String, k: Int,
+                  coeffs: Map[String, Double] = Signals.DefaultCoefficients)
+      : Array[(Hit, Map[String, Double])] = {
+    val base = Tokenizers.default(query).distinct.take(16).toSeq
+    if (base.isEmpty || stats.numDocs == 0) return Array.empty
+    val N = stats.numDocs
+    val avgFn = stats.avgFieldNorm
+    val bigramAvg = if (N > 0)
+      math.max(stats.numTokens - N, 1L).toFloat / N.toFloat else 1.0f
+    val stems = base.map(t => Fields.StemPrefix + graft.core.PorterStemmer.stem(t))
+    val bigrams = if (base.length >= 2)
+      base.sliding(2).map(p => Fields.bigramTerm(p(0), p(1))).toSeq else Nil
+    val urlTerms = base.map(Fields.urlTerm)
+    val repoTerms = base.map(t => Fields.RepoPrefix + t)
+    val allTerms = (base ++ stems ++ bigrams ++ urlTerms ++ repoTerms).distinct
+    // per-field dfs for the per-field bm25/idf signals; content dfs of
+    // the stripped texts feed the BM25F shared idf
+    val idfTexts = (base ++ stems.map(_.substring(Fields.StemPrefix.length)) ++
+      bigrams.map(_.substring(Fields.BigramPrefix.length))).distinct
+    val dfs = dfOf((allTerms ++ idfTexts).distinct)
+
+    val fetchK = k * math.max(stats.numSegments, 1) * 4
+    val cands = searchBatchRaw(Seq(("q", query, fetchK, "or+", Nil)))("q")
+    if (cands.isEmpty) return Array.empty
+    val candBySeg = cands.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sorted }
+    val bCands = spark.sparkContext.broadcast(candBySeg)
+    val bDfs = spark.sparkContext.broadcast(dfs)
+    val fCoeffs = Fields.DefaultBm25fCoeffs
+
+    // (seg, doc, bm25f, bm25Content, coverage, bm25Bigrams, bm25Stemmed,
+    //  idfSumUrl, idfSumRepo)
+    def sigSeg(seg: Int, plist: Array[PostingRow], fnArrs: Map[Int, Array[Byte]])
+        : Iterator[(Int, Int, Double, Double, Double, Double, Double, Double, Double)] = {
+      val candDocs = bCands.value.getOrElse(seg, Array.empty)
+      if (candDocs.isEmpty) return Iterator.empty
+      val byTerm = plist.groupBy(_.term)
+      val dfsV = bDfs.value
+      def cursor(term: String, field: Int): Option[(TermCursor, Bm25Weight, Bm25FWeight, Float)] =
+        byTerm.get(term).map { rows =>
+          val av = if (field == Fields.Bigram) bigramAvg else avgFn
+          val df = dfsV.getOrElse(term, 0L)
+          val idf = Bm25.idf(df, N)
+          val bw = new Bm25Weight(idf * (1.0f + Bm25.K1), av)
+          val text = if (field == Fields.Content) term
+            else term.substring(2) // strip the 2-char field prefix
+          val sharedIdf = Bm25.idf(dfsV.getOrElse(text, 0L), N)
+          val bf = new Bm25FWeight(sharedIdf, av, fCoeffs.getOrElse(field, 0.0f))
+          val fnA = fnArrs(Fields.fnormFieldOf(field))
+          val sorted = rows.sortBy(_.shard)
+          val c: TermCursor =
+            if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, bw)
+            else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, bw)))
+          (c, bw, bf, idf)
+        }
+      val contentCs = base.flatMap(cursor(_, Fields.Content))
+      val stemCs = stems.flatMap(cursor(_, Fields.Stemmed))
+      val bigramCs = bigrams.flatMap(cursor(_, Fields.Bigram))
+      val urlCs = urlTerms.flatMap(cursor(_, Fields.Url))
+      val repoCs = repoTerms.flatMap(cursor(_, Fields.Repo))
+      @inline def contains(c: TermCursor, doc: Int): Boolean =
+        c.doc == doc || (c.doc < doc && c.seek(doc) == doc)
+      candDocs.iterator.map { doc =>
+        var bm25f = 0.0; var bm25c = 0.0; var matched = 0
+        contentCs.foreach { case (c, bw, bf, _) =>
+          if (contains(c, doc)) {
+            val fn = c.fieldNormId; val tf = c.termFreq
+            bm25c += bw.score(fn, tf).toDouble
+            bm25f += bf.score(fn, tf).toDouble
+            matched += 1
+          }
+        }
+        var bm25st = 0.0
+        stemCs.foreach { case (c, bw, bf, _) =>
+          if (contains(c, doc)) {
+            val fn = c.fieldNormId; val tf = c.termFreq
+            bm25st += bw.score(fn, tf).toDouble
+            bm25f += bf.score(fn, tf).toDouble
+          }
+        }
+        var bm25bi = 0.0
+        bigramCs.foreach { case (c, bw, bf, _) =>
+          if (contains(c, doc)) {
+            val fn = c.fieldNormId; val tf = c.termFreq
+            bm25bi += bw.score(fn, tf).toDouble
+            bm25f += bf.score(fn, tf).toDouble
+          }
+        }
+        var idfUrl = 0.0
+        urlCs.foreach { case (c, _, _, idf) => if (contains(c, doc)) idfUrl += idf.toDouble }
+        var idfRepo = 0.0
+        repoCs.foreach { case (c, _, _, idf) => if (contains(c, doc)) idfRepo += idf.toDouble }
+        (seg, doc, bm25f, bm25c, matched.toDouble / base.length, bm25bi,
+          bm25st, idfUrl, idfRepo)
+      }
+    }
+
+    val post = postings.filter($"term".isin(allTerms: _*))
+    val perCand: Array[(Int, Int, Double, Double, Double, Double, Double, Double, Double)] = (residentFnorms match {
+      case Some(bc) =>
+        post.groupByKey(_.segment).flatMapGroups { (seg, ps) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty else sigSeg(seg, plist, bc.value(seg))
+        }
+      case None =>
+        post.groupByKey(_.segment).cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty else sigSeg(seg, plist, assembleFnorms(fs))
+        }
+    }).collect()
+
+    // query-independent signals from the doc table (broadcast the small
+    // candidate set into the join)
+    val candDF = spark.createDataset(perCand.map(r => (r._1, r._2)).toSeq)
+      .toDF("segment", "docId")
+    val segs = perCand.map(_._1).distinct.toSeq
+    val meta = docs.filter($"segment".isin(segs: _*))
+      .join(broadcast(candDF), Seq("segment", "docId"))
+      .select($"segment", $"docId", $"repo", $"path", $"sortKey")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getString(2), r.getString(3), r.getLong(4)))
+      .toMap
+
+    val scored = perCand.map { r =>
+      val (repo, path, sortKey) = meta((r._1, r._2))
+      val slashes = path.count(_ == '/').toDouble
+      val digits = path.count(_.isDigit).toDouble
+      val values = Map(
+        Signals.Bm25F -> r._3, Signals.Bm25Content -> r._4,
+        Signals.ContentCoverage -> r._5, Signals.Bm25Bigrams -> r._6,
+        Signals.Bm25Stemmed -> r._7, Signals.IdfSumUrl -> r._8,
+        Signals.IdfSumRepo -> r._9,
+        Signals.Centrality -> Signals.centralityOf(sortKey),
+        Signals.CentralityRank -> Signals.scoreRank(r._2.toDouble),
+        Signals.UrlSlashes -> Signals.scoreCount(slashes),
+        Signals.UrlDigits -> Signals.scoreCount(digits))
+      (r._1, r._2, repo, path, values, Signals.linear(values, coeffs))
+    }
+    scored.sortBy(t => (-t._6, t._1, t._2))
+      .take(k).zipWithIndex
+      .map { case ((seg, doc, repo, path, values, total), i) =>
+        (Hit(i + 1, seg, doc, total.toFloat, repo, path), values)
+      }
+  }
+
   /** Boolean query trees (reference boolean_weight.rs:112-147 +
     * reqopt_scorer.rs): arbitrary Must/Should/MustNot nesting with
     * RequiredOptionalScorer semantics — required clauses gate matching,

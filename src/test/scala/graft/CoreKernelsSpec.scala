@@ -67,6 +67,20 @@ class TokenizerSpec extends AnyFunSuite {
     (out.toSeq, n)
   }
 
+  test("flattenJson: nested objects, arrays, null, escapes (json.rs:33-97)") {
+    assert(Tokenizers.flattenJson("""{"k": 69}""") == Seq("""k="69""""))
+    assert(Tokenizers.flattenJson("""{"a": {"b": "x", "c": 1}}""").sorted ==
+      Seq("""a.b="x"""", """a.c="1""""))
+    assert(Tokenizers.flattenJson("""{"a": [1, 2]}""").sorted ==
+      Seq("""a="1"""", """a="2""""))
+    assert(Tokenizers.flattenJson("""{"a": null}""") == Seq("a"))
+    assert(Tokenizers.flattenJson("{\"a\": \"say \\\"hi\\\"\"}") ==
+      Seq("a=\"say \\\"hi\\\"\""))
+    assert(Tokenizers.flattenJson("""{"b": true}""") == Seq("""b="true""""))
+    assert(Tokenizers.flattenJson("not json").isEmpty)
+    assert(Tokenizers.flattenJson("").isEmpty)
+  }
+
   test("tokenizeInto == default: order, values, count (property)") {
     val fixed = Seq(
       "this is a relatively simple123 test    string",

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.index._
+
+/** Linear-model signal ranking vs brute force computed from raw text. */
+class SignalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private lazy val corpus = Corpus.generate(spark, 400, seed = 55L).cache()
+  private lazy val index = {
+    val d = java.nio.file.Files.createTempDirectory("graftsig").toString
+    IndexBuilder.build(spark, corpus, d, IndexBuilder.Config(numSegments = 3,
+      indexStemmed = true, indexBigrams = true, indexMeta = true))
+    new InvertedIndex(spark, d)
+  }
+
+  test("signal vectors match brute force; total is the linear model") {
+    val q = "merging data tables"
+    val got = index.rankSignals(q, 10)
+    assert(got.nonEmpty)
+
+    val base = Tokenizers.default(q).distinct.toSeq
+    val N = index.stats.numDocs
+    val avgFn = index.stats.avgFieldNorm
+    val bigramAvg = math.max(index.stats.numTokens - N, 1L).toFloat / N.toFloat
+    val docs = corpus.collect().map(d => (d, Tokenizers.default(d.content)))
+
+    // dfs per field computed from raw text
+    def stemOf(t: String) = PorterStemmer.stem(t)
+    def contentDf(x: String) = docs.count(_._2.contains(x)).toLong
+    def stemDf(x: String) = docs.count(_._2.exists(tk => stemOf(tk) == x)).toLong
+    def bigramDf(a: String, b: String) = docs.count(_._2.sliding(2).exists(p =>
+      p.length == 2 && p(0) == a && p(1) == b)).toLong
+    def urlDf(x: String) = docs.count(d => Tokenizers.default(d._1.path).contains(x)).toLong
+
+    got.foreach { case (hit, values) =>
+      val (d, toks) = docs.find(x => x._1.repo == hit.repo && x._1.path == hit.path).get
+      val fnId = FieldNorm.fieldNormToId(toks.length.toLong)
+      val fnIdBi = FieldNorm.fieldNormToId(math.max(toks.length - 1, 0).toLong)
+      var bm25c = 0.0; var bm25f = 0.0; var matched = 0
+      base.foreach { t =>
+        val tf = toks.count(_ == t)
+        if (tf > 0) {
+          val idf = Bm25.idf(contentDf(t), N)
+          bm25c += new Bm25Weight(idf * 2.2f, avgFn).score(fnId, tf).toDouble
+          bm25f += new Bm25FWeight(idf, avgFn, 1.0f).score(fnId, tf).toDouble
+          matched += 1
+        }
+      }
+      var bm25st = 0.0
+      base.foreach { t =>
+        val s = stemOf(t)
+        val tf = toks.count(tk => stemOf(tk) == s)
+        if (tf > 0) {
+          bm25st += new Bm25Weight(Bm25.idf(stemDf(s), N) * 2.2f, avgFn)
+            .score(fnId, tf).toDouble
+          bm25f += new Bm25FWeight(Bm25.idf(contentDf(s), N), avgFn, 0.5f)
+            .score(fnId, tf).toDouble
+        }
+      }
+      var bm25bi = 0.0
+      base.sliding(2).foreach { p =>
+        val tf = toks.sliding(2).count(w => w.length == 2 && w(0) == p(0) && w(1) == p(1))
+        if (tf > 0) {
+          bm25bi += new Bm25Weight(Bm25.idf(bigramDf(p(0), p(1)), N) * 2.2f, bigramAvg)
+            .score(fnIdBi, tf).toDouble
+          bm25f += new Bm25FWeight(Bm25.idf(contentDf(p(0) + p(1)), N), bigramAvg, 0.25f)
+            .score(fnIdBi, tf).toDouble
+        }
+      }
+      var idfUrl = 0.0
+      val pToks = Tokenizers.default(d.path)
+      base.foreach { t => if (pToks.contains(t)) idfUrl += Bm25.idf(urlDf(t), N).toDouble }
+      val expect = Map(
+        Signals.Bm25F -> bm25f, Signals.Bm25Content -> bm25c,
+        Signals.ContentCoverage -> matched.toDouble / base.length,
+        Signals.Bm25Bigrams -> bm25bi, Signals.Bm25Stemmed -> bm25st,
+        Signals.IdfSumUrl -> idfUrl, Signals.IdfSumRepo -> 0.0,
+        Signals.Centrality -> Signals.centralityOf(
+          IndexBuilder.sortKeyOf(d.repo, d.path, d.commit)),
+        Signals.CentralityRank -> Signals.scoreRank(hit.docId.toDouble),
+        Signals.UrlSlashes -> Signals.scoreCount(d.path.count(_ == '/').toDouble),
+        Signals.UrlDigits -> Signals.scoreCount(d.path.count(_.isDigit).toDouble))
+      expect.foreach { case (k, v) =>
+        assert(math.abs(values(k) - v) < 1e-5, s"signal $k of ${hit.repo}/${hit.path}")
+      }
+      assert(math.abs(hit.score -
+        Signals.linear(values, Signals.DefaultCoefficients)) < 1e-5f)
+    }
+  }
+
+  test("coefficients steer the ranking") {
+    val q = "data table"
+    // zero out everything except centrality: order must follow centrality
+    val onlyCentrality = Signals.All.map(_ -> 0.0).toMap + (Signals.Centrality -> 1.0)
+    val got = index.rankSignals(q, 20, onlyCentrality)
+    val cents = got.map(_._2(Signals.Centrality))
+    assert(cents.zip(cents.tail).forall { case (a, b) => a >= b })
+    // and with default coefficients the bm25f signal dominates text order
+    val defaults = index.rankSignals(q, 5)
+    assert(defaults.forall(_._2(Signals.Bm25F) > 0.0))
+  }
+}
