@@ -145,21 +145,32 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "q_bigrams" -> ((s, d) => {
-      // adjacent pairs via the shuffle-free array transform (the old
-      // posexplode + window-lead plan paid a full per-doc shuffle+sort)
+      // adjacent pairs with NO per-position string building: zip the
+      // token array against its shift into structs, group on the struct
+      // key, and only concat the 30 surviving pairs (the old
+      // posexplode+window plan paid a per-doc shuffle+sort; a naive
+      // shingle transform paid a concat per token occurrence)
+      val tk = toks(col("text"))
+      val pairs = zip_with(tk,
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
       t(s, d, "documents")
-        .select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .select(explode(pairs).as("bg"))
+        .where(col("bg.w2").isNotNull)
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .select(concat_ws(" ", col("bg.w1"), col("bg.w2")).as("bigram"), col("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(30)
     }),
 
     "q_phrase_match" -> ((s, d) => {
-      // relational face of PhraseQuery: adjacency via the shuffle-free
-      // shingle transform, counted per doc in place
+      // relational face of PhraseQuery: adjacency as a boolean zip over
+      // the token array and its shift — shuffle-free AND allocation-free
+      val tk = toks(col("text"))
+      val hits = filter(zip_with(tk,
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => a === "data" && b === "table"), x => x)
       t(s, d, "documents")
-        .select(col("doc_id"),
-          size(filter(TextOps.shingles(col("text"), 2),
-            sh => sh === "data table")).cast("long").as("phrase_freq"))
+        .select(col("doc_id"), size(hits).cast("long").as("phrase_freq"))
         .where(col("phrase_freq") > 0)
         .orderBy("doc_id")
     }),

@@ -537,12 +537,16 @@ object IndexBuilder {
 
     /** Visit every indexed (term, position) of a doc: the content field
       * plus the stemmed / bigram shadow fields (reference field
-      * expansion: each field is its own term space). */
-    @inline private def forEachTerm(toks: Array[String])(f: (String, Int) => Unit): Unit = {
+      * expansion: each field is its own term space). The stemmer is
+      * selected per document language (reference
+      * schema/text_field.rs:294-326; non-natural languages fall back to
+      * English, so a source-code corpus is unaffected). */
+    @inline private def forEachTerm(toks: Array[String], stem: String => String)
+                                   (f: (String, Int) => Unit): Unit = {
       var p = 0
       while (p < toks.length) {
         f(toks(p), p)
-        if (indexStemmed) f(Fields.stemTerm(toks(p)), p)
+        if (indexStemmed) f(Fields.StemPrefix + stem(toks(p)), p)
         if (indexBigrams && p + 1 < toks.length)
           f(Fields.bigramTerm(toks(p), toks(p + 1)), p)
         if (indexTrigrams && p + 2 < toks.length)
@@ -564,7 +568,8 @@ object IndexBuilder {
           Tokenizers.tokenizeInto(t.content, table)
         else {
           val toks = Tokenizers.default(t.content)
-          forEachTerm(toks)((term, p) => table.token(term, p))
+          val stem = graft.core.Stemmers.forLanguage(t.lang)
+          forEachTerm(toks, stem)((term, p) => table.token(term, p))
           if (computeSimhash) simhash = graft.ops.Dedup.simhash64(toks)
           toks.length
         }

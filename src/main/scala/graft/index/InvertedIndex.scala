@@ -25,8 +25,14 @@ import graft.core._
   * segment, or uniformly distributed corpora); otherwise it inherits the
   * reference's approximation.
   */
-final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable {
+final class InvertedIndex(spark: SparkSession, dir: String,
+                          queryLang: String = "en") extends Serializable {
   import spark.implicits._
+
+  // query-side stemmer for field expansion (the reference stems queries
+  // in the detected query language; doc-side stemming dispatched per
+  // doc at build time)
+  private val queryStem: String => String = Stemmers.forLanguage(queryLang)
 
   private def data(kind: String): DataFrame =
     spark.read.parquet(s"${IndexBuilder.dataDir(dir)}/kind=$kind")
@@ -102,7 +108,7 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
         if (mode == "phrase") Tokenizers.default(q).take(32).toSeq
         else if (expanded)
           Fields.expand(Tokenizers.default(q).take(16).toSeq,
-            stemmed = true, bigrams = true)
+            stemmed = true, bigrams = true, stem = queryStem)
         else queryTerms(q).toSeq
       (qid, terms, k, mode, minus.flatMap(queryTerms).distinct)
     }
@@ -426,7 +432,7 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     val avgFn = stats.avgFieldNorm
     val bigramAvg = if (N > 0)
       math.max(stats.numTokens - N, 1L).toFloat / N.toFloat else 1.0f
-    val stems = base.map(t => Fields.StemPrefix + graft.core.PorterStemmer.stem(t))
+    val stems = base.map(t => Fields.StemPrefix + queryStem(t))
     val bigrams = if (base.length >= 2)
       base.sliding(2).map(p => Fields.bigramTerm(p(0), p(1))).toSeq else Nil
     val urlTerms = base.map(Fields.urlTerm)
@@ -652,7 +658,7 @@ final class InvertedIndex(spark: SparkSession, dir: String) extends Serializable
     val fieldTerms: Seq[(String, Int, String)] = // (indexTerm, field, idfText)
       base.map(t => (t, Fields.Content, t)) ++
         (if (coeffs.contains(Fields.Stemmed))
-          base.map { t => val s = graft.core.PorterStemmer.stem(t)
+          base.map { t => val s = queryStem(t)
             (Fields.StemPrefix + s, Fields.Stemmed, s) }
         else Nil) ++
         (if (coeffs.contains(Fields.Bigram) && base.length >= 2)

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Stemmers
+import graft.index._
+
+/** Multi-language Snowball stemmers + per-doc-language dispatch.
+  * Vectors are hand-checked common forms (plural/verb conflation) —
+  * the property that matters for retrieval is CONFLATION: inflected
+  * forms of one lemma map to one stem, distinct lemmas stay apart. */
+class StemmerSpec extends AnyFunSuite {
+
+  test("german: plural/case/verb conflation") {
+    import Stemmers.german
+    assert(german("häuser") == "haus")
+    assert(german("bücher") == german("buch"))
+    assert(german("katzen") == "katz")
+    assert(german("laufen") == "lauf")
+    assert(german("kindern") == german("kinder"))
+    assert(german("aufgabe") == german("aufgaben"))
+    // ß normalization
+    assert(german("straße") == german("strasse"))
+    // distinct lemmas stay apart
+    assert(german("haus") != german("maus"))
+  }
+
+  test("french: verb/plural conflation") {
+    import Stemmers.french
+    assert(french("chanteraient") == "chant")
+    assert(french("chanter") == "chant")
+    assert(french("chantées") == "chant")
+    assert(french("mangées") == french("manger"))
+    assert(french("tables") != french("chaises"))
+  }
+
+  test("spanish: verb/plural conflation") {
+    import Stemmers.spanish
+    assert(spanish("corriendo") == "corr")
+    assert(spanish("cantaban") == "cant")
+    assert(spanish("cantar") == "cant")
+    assert(spanish("niños") == "niñ")
+    assert(spanish("casas") == spanish("casa"))
+  }
+
+  test("dispatch: language codes, names, fallback to English") {
+    assert(Stemmers.forLanguage("de")("häuser") == "haus")
+    assert(Stemmers.forLanguage("german")("häuser") == "haus")
+    assert(Stemmers.forLanguage("es")("corriendo") == "corr")
+    // programming languages (the code corpus's `lang`) fall back to
+    // Porter English — the pre-dispatch behavior, so existing indexes
+    // and golden fixtures are unchanged
+    assert(Stemmers.forLanguage("rust")("running") ==
+      graft.core.PorterStemmer.stem("running"))
+    assert(Stemmers.forLanguage(null)("running") ==
+      graft.core.PorterStemmer.stem("running"))
+  }
+
+  test("stemmers never panic and always shrink-or-keep") {
+    val rnd = new scala.util.Random(17)
+    val fns = Seq(Stemmers.german _, Stemmers.french _, Stemmers.spanish _)
+    (0 until 2000).foreach { _ =>
+      val s = rnd.nextString(rnd.nextInt(24))
+      fns.foreach { f =>
+        val out = f(s)
+        assert(out != null)
+      }
+    }
+    // real-ish tokens shrink or stay
+    Seq("häuser", "chanteraient", "corriendo", "straßenbahn").foreach { wrd =>
+      fns.foreach(f => assert(f(wrd).length <= wrd.length + 1))
+    }
+  }
+
+  test("index integration: German docs recall inflected forms via de query stemming") {
+    val spark: SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      SourceDoc("r1", "a.md", "c", "de", "die häuser sind groß und alt"),
+      SourceDoc("r2", "b.md", "c", "de", "ein kleines haus am see"),
+      SourceDoc("r3", "c.md", "c", "de", "gänzlich anderes thema hier völlig"))
+    val dir = java.nio.file.Files.createTempDirectory("graftde").toString
+    IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      IndexBuilder.Config(numSegments = 1, indexStemmed = true))
+    val idx = new InvertedIndex(spark, dir, queryLang = "de")
+    // "haus" stems to "haus"; doc token "häuser" stems to "haus" at
+    // build time -> the stemmed field connects them
+    val hits = idx.search("haus", 10, "or+")
+    val repos = hits.map(_.repo).toSet
+    assert(repos == Set("r1", "r2"), repos.toString)
+    // control: an English-stemmed query (Porter: "haus" -> "hau") can't
+    // reach the German-stemmed field — only the literal content match
+    // survives. This asymmetry is exactly why per-language dispatch
+    // matters for a multilingual corpus.
+    val idxEn = new InvertedIndex(spark, dir, queryLang = "en")
+    assert(idxEn.search("haus", 10, "or+").map(_.repo).toSet == Set("r2"))
+  }
+}
