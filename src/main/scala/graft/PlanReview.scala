@@ -50,6 +50,15 @@ object PlanReview {
     // 5. dedup minhash LSH (bucket join, no cartesian)
     show("q_dedup_minhash", SparkEntry.queries("q_dedup_minhash")(spark, "/root/testdata/sf0.001"))
 
+    // 6. LSH kNN join: bucket equi-join (no cartesian product node)
+    show("q_embed_lsh_knn", SparkEntry.queries("q_embed_lsh_knn")(spark, "/root/testdata/sf0.001"))
+
+    // 7. simhash pairs: block-prefix bucket join (no cartesian)
+    show("q_simhash_pairs", SparkEntry.queries("q_simhash_pairs")(spark, "/root/testdata/sf0.001"))
+
+    // 8. bigrams: shuffle-free zip_with plan (no window exchange)
+    show("q_bigrams", SparkEntry.queries("q_bigrams")(spark, "/root/testdata/sf0.001"))
+
     // latency check with resident fnorms
     val lats = Bench.queryLatencies(spark, dir, reps = 3)
     val s = lats.sorted
