@@ -139,6 +139,14 @@ object SparkEntry {
         .where(col("rn") <= 3)
         .orderBy("lang", "rn")
     }),
+    "q_count_distinct_hll" -> ((s, d) => {
+      // HyperLogLog sketch face (rows-only: the sketch estimate is
+      // Spark-internal; OpsSpec bounds its error vs the exact twin)
+      tokensDF(s, d).join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(approx_count_distinct("term", 0.02).as("vocab_approx"))
+        .orderBy("lang")
+    }),
     "q_count_distinct" -> ((s, d) => {
       tokensDF(s, d).join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
         .groupBy("lang").agg(countDistinct("term").as("vocab"))
@@ -333,6 +341,21 @@ object SparkEntry {
       val idx = docIndex(s, d)
       val raw = idx.searchPrefix("wind", 20)
       hitsDF(s, idx.resolve(raw, raw.length))
+    }),
+    "q_pipeline" -> ((s, d) => {
+      // full serving pipeline: parse -> recall -> signals -> bucket
+      // dedup -> snippets
+      import s.implicits._
+      val idx = docIndex(s, d)
+      // docIndex maps documents as repo=doc_id, path=source
+      val ids = t(s, d, "documents")
+        .select(col("doc_id").cast("string"), col("source"), col("text"))
+        .as[(String, String, String)].collect()
+        .map { case (id, src, txt) => (id, src) -> txt }.toMap
+      val res = graft.index.SearchPipeline.run(idx, "table merge data", 10,
+        p => ids.get((p._1, p._2)))
+      res.map(r => (r.rank, r.repo.toLong, math.rint(r.score * 1e4) / 1e4,
+        r.snippet.take(60))).toDF("rank", "doc_id", "score", "snippet")
     }),
     "q_engine_signals" -> ((s, d) => {
       // linear ranking model over the signal framework (explainable)

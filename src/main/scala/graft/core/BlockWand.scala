@@ -281,6 +281,63 @@ object BlockWand {
     }
   }
 
+  /** Bitset-horizon union (re-derivation of tantivy's
+    * BufferedUnionScorer, union.rs: docs are drained into a HORIZON-
+    * sized bitset window with a parallel score buffer, then emitted in
+    * doc order by scanning set bits word-by-word). Cursors are swept in
+    * ord order within each window, so per-doc f32 accumulation order is
+    * identical to `exhaustiveUnion` — bit-identical results (property
+    * tested), better locality on dense unions (one pass per cursor per
+    * window instead of a k-way min scan per doc). */
+  def bitsetUnion(cursors: Seq[TermCursor], callback: (Int, Float) => Unit): Unit = {
+    val Horizon = 4096
+    val s = cursors.toArray
+    val bits = new Array[Long](Horizon / 64)
+    val scores = new Array[Float](Horizon)
+    var base = 0
+    locally {
+      var m = Terminated
+      var i = 0
+      while (i < s.length) { if (s(i).doc < m) m = s(i).doc; i += 1 }
+      if (m == Terminated) return
+      base = m
+    }
+    var live = s.count(_.doc != Terminated)
+    while (live > 0) {
+      val limit = base + Horizon
+      var next = Terminated
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        var d = c.doc
+        while (d < limit) {
+          val off = d - base
+          bits(off >> 6) |= 1L << (off & 63)
+          scores(off) += c.score
+          d = c.advance()
+          if (d == Terminated) { live -= 1; d = limit } // exit inner
+        }
+        if (c.doc != Terminated && c.doc < next) next = c.doc
+        i += 1
+      }
+      // emit window in doc order
+      var w = 0
+      while (w < bits.length) {
+        var word = bits(w)
+        while (word != 0) {
+          val b = java.lang.Long.numberOfTrailingZeros(word)
+          val off = (w << 6) + b
+          callback(base + off, scores(off))
+          scores(off) = 0.0f
+          word &= word - 1
+        }
+        bits(w) = 0L
+        w += 1
+      }
+      if (live > 0) base = next
+    }
+  }
+
   /** Count-only union walk (no fieldnorm/score work) — the exact match
     * count for the unsaturated ApproxCount path. */
   def unionCount(cursors: Seq[TermCursor]): Long = {

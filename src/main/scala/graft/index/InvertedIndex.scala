@@ -186,6 +186,8 @@ final class InvertedIndex(spark: SparkSession, dir: String,
                     (d, s) => if (!excluded(d)) topk.push(d, s))
                 case "exhaustive" =>
                   BlockWand.exhaustiveUnion(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
+                case "bitset" => // horizon-buffered union (bit-identical)
+                  BlockWand.bitsetUnion(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
                 case _ =>
                   if (negs.isEmpty)
                     BlockWand.run(cs, Float.MinValue, (d, s) => topk.push(d, s))

@@ -1,0 +1,85 @@
+package graft.index
+
+import graft.core._
+
+/** One search result after the full pipeline. */
+final case class SearchResult(rank: Int, repo: String, path: String,
+                              score: Double, snippet: String,
+                              signals: Map[String, Double])
+
+/** The serving pipeline, composing the engine stages the way the
+  * reference composes its search pipeline (api/search -> query parse ->
+  * initial retrieval -> ranking pipeline -> collector -> snippets):
+  *
+  *  1. parse + operator lowering (site:/inurl:/lang:/... -> boolean
+  *     tree must clauses; plain terms stay scoring);
+  *  2. recall: expanded WAND (or the boolean evaluator when operators
+  *     are present), over-fetching k x slack candidates;
+  *  3. rank: the linear signal model (Σ coeff·signal) re-scores
+  *     candidates with explainable signal vectors;
+  *  4. collect: BucketCollector site/url/title penalties + simhash
+  *     near-dup drain pick the final page;
+  *  5. present: query-biased snippets over the winning documents.
+  *
+  * Stage boundaries mirror the reference's recall/precision split: the
+  * distributed work happens in stages 2-3 (per-segment tasks); stages
+  * 4-5 run on the driver over k·slack rows. */
+object SearchPipeline {
+
+  final case class Config(slack: Int = 4,
+                          coeffs: Map[String, Double] = Signals.DefaultCoefficients,
+                          deRankSimilar: Boolean = true,
+                          snippetCfg: Snippets.Config = Snippets.Config())
+
+  def run(idx: InvertedIndex, query: String, k: Int,
+          textOf: ((String, String)) => Option[String] = _ => None,
+          cfg: Config = Config()): Seq[SearchResult] = {
+    val (body, mode, minus, ops) = idx.parseOps(query)
+
+    // stages 2-3: candidates with signal vectors
+    val ranked: Seq[(Hit, Map[String, Double])] =
+      if (ops.nonEmpty || mode == "phrase") {
+        // operator/phrase queries route through their evaluators; the
+        // raw engine score stands in for the model total
+        val hits =
+          if (ops.nonEmpty) {
+            val tree = BooleanQuery.Bool(
+              must = ops.map(BooleanQuery.Term.apply),
+              should = idx.queryTerms(body).toSeq.map(BooleanQuery.Term.apply),
+              mustNot = minus.flatMap(m => idx.queryTerms(m)).distinct
+                .map(BooleanQuery.Term.apply))
+            idx.resolve(idx.searchBool(BooleanQuery.factor(tree), k * cfg.slack),
+              k * cfg.slack)
+          } else idx.search(body, k * cfg.slack, mode, minus)
+        hits.toSeq.map(h => (h, Map.empty[String, Double]))
+      } else idx.rankSignals(body, k * cfg.slack, cfg.coeffs).toSeq
+    if (ranked.isEmpty) return Nil
+
+    // stage 4: bucket dedup + simhash drain over the candidate page
+    val simhashes: Map[(String, String), Long] = {
+      import org.apache.spark.sql.functions.col
+      val repos = ranked.map(_._1.repo).distinct
+      idx.docs.filter(col("repo").isin(repos: _*))
+        .collect().map(d => (d.repo, d.path) -> d.simhash).toMap
+    }
+    val coll = new BucketCollector[(Hit, Map[String, Double])](k,
+      c => c._1.score.toDouble,
+      c => DocHashes(
+        IndexBuilder.fnv1a64("site:" + c._1.repo),
+        IndexBuilder.fnv1a64("url:" + c._1.repo + "/" + c._1.path),
+        IndexBuilder.fnv1a64("path:" + c._1.path),
+        IndexBuilder.fnv1a64("title:" +
+          c._1.path.substring(c._1.path.lastIndexOf('/') + 1)),
+        simhashes.getOrElse((c._1.repo, c._1.path), 0L)))
+    ranked.foreach(coll.insert)
+    val page = coll.sortedResults(cfg.deRankSimilar)
+
+    // stage 5: snippets
+    page.zipWithIndex.map { case ((h, signals), i) =>
+      val snippet = textOf((h.repo, h.path))
+        .map(t => Snippets.generate(body, t, cfg.snippetCfg).unhighlightedString)
+        .getOrElse("")
+      SearchResult(i + 1, h.repo, h.path, h.score.toDouble, snippet, signals)
+    }
+  }
+}

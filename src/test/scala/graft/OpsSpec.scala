@@ -11,6 +11,19 @@ class OpsSpec extends AnyFunSuite {
 
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
 
+  test("HLL sketch vocab is within 5% of the exact count") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("q_count_distinct_hll")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, n) =>
+      val rel = math.abs(approx(lang).toDouble - n) / n
+      assert(rel < 0.05, s"$lang: approx ${approx(lang)} vs exact $n")
+    }
+  }
+
   test("exact dedup groups preserve row count") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     val total = g.agg(sum("copies")).head().getLong(0)

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index._
+
+/** Full serving pipeline: parse -> recall -> signal rank -> bucket
+  * dedup -> snippets. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private lazy val corpus = Corpus.generate(spark, 400, seed = 77L).cache()
+  private lazy val textMap = corpus.collect()
+    .map(d => (d.repo, d.path) -> d.content).toMap
+  private lazy val index = {
+    val d = java.nio.file.Files.createTempDirectory("graftpipe").toString
+    IndexBuilder.build(spark, corpus, d, IndexBuilder.Config(numSegments = 3,
+      indexStemmed = true, indexBigrams = true, indexMeta = true,
+      computeSimhash = true))
+    new InvertedIndex(spark, d)
+  }
+
+  test("plain query: ranked page with signals and snippets") {
+    val res = SearchPipeline.run(index, "data table merge", 10, textMap.get)
+    assert(res.nonEmpty && res.length <= 10)
+    assert(res.map(_.rank) == (1 to res.length))
+    // signal vectors present and the totals are descending post-dedup ties aside
+    assert(res.head.signals.nonEmpty)
+    assert(res.head.signals.contains(graft.core.Signals.Bm25F))
+    // snippets come from the right documents and contain a query term
+    res.foreach { r =>
+      assert(r.snippet.nonEmpty)
+      assert(textMap((r.repo, r.path)).startsWith(r.snippet.take(20)) ||
+        textMap((r.repo, r.path)).contains(r.snippet.take(40)))
+    }
+    assert(res.exists(r => r.snippet.contains("data") || r.snippet.contains("table")))
+    // deterministic
+    assert(SearchPipeline.run(index, "data table merge", 10, textMap.get) == res)
+  }
+
+  test("operator query routes through the boolean tree") {
+    val repo = corpus.head().repo
+    val res = SearchPipeline.run(index, s"repo:$repo data", 20, textMap.get)
+    assert(res.nonEmpty)
+    assert(res.forall(_.repo == repo))
+  }
+
+  test("phrase query routes through the phrase evaluator") {
+    val res = SearchPipeline.run(index, "\"data table\"", 5, textMap.get)
+    res.foreach(r => assert(textMap((r.repo, r.path)).contains("data table")))
+  }
+
+  test("empty query yields no results") {
+    assert(SearchPipeline.run(index, "", 5).isEmpty)
+    assert(SearchPipeline.run(index, "zzzznotaterm", 5).isEmpty)
+  }
+}

@@ -65,6 +65,21 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("bitset-horizon union == exhaustive union, bit-identically") {
+    val rnd = new scala.util.Random(1717)
+    (0 until 100).foreach { i =>
+      val nTerms = 1 + rnd.nextInt(4)
+      // maxDoc beyond the 4096 horizon to force multiple windows
+      val maxDoc = 200 + rnd.nextInt(12000)
+      val f = mkFixture(rnd, nTerms, maxDoc)
+      val a = scala.collection.mutable.ArrayBuffer[(Int, Float)]()
+      BlockWand.bitsetUnion(cursors(f), (d, s) => a += ((d, s)))
+      val b = scala.collection.mutable.ArrayBuffer[(Int, Float)]()
+      BlockWand.exhaustiveUnion(cursors(f), (d, s) => b += ((d, s)))
+      assert(a == b, s"case $i terms=$nTerms maxDoc=$maxDoc")
+    }
+  }
+
   test("single-term fast path == exhaustive") {
     val rnd = new scala.util.Random(7)
     (0 until 50).foreach { _ =>
