@@ -342,6 +342,15 @@ object SparkEntry {
       val raw = idx.searchPrefix("wind", 20)
       hitsDF(s, idx.resolve(raw, raw.length))
     }),
+    "q_spell" -> ((s, d) => {
+      // did-you-mean over the index term dictionary (stupid-backoff
+      // context via the bigram field + per-edit penalty)
+      import s.implicits._
+      val idx = docIndex(s, d)
+      Seq("tabel merge", "window grup", "table merge")
+        .map(q => (q, idx.spellCorrect(q).getOrElse("")))
+        .toDF("query", "corrected").orderBy("query")
+    }),
     "q_pipeline" -> ((s, d) => {
       // full serving pipeline: parse -> recall -> signals -> bucket
       // dedup -> snippets

@@ -788,6 +788,79 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     else searchTermSet(terms, k)
   }
 
+  /** Spell correction (scoped re-derivation of crates/web-spell: the
+    * reference trains a char-level error model + a stupid-backoff
+    * n-gram LM from harvested text; here the index IS the corpus —
+    * unigram probabilities come from content-term doc frequencies,
+    * bigram context from the compound-bigram shadow field when the
+    * index has one, and the error model is a fixed per-edit penalty).
+    * Per query term: candidates within `maxDist` edits from the term
+    * dictionary (length-prefiltered Levenshtein pushed into the scan),
+    * scored by stupid backoff
+    * S(c|prev) = df2(prev,c)/df(prev) if observed else alpha * df(c)/N
+    * times penalty^dist; the original term competes at dist 0, and a
+    * correction must beat it by `margin`. Returns None if nothing
+    * changed. */
+  def spellCorrect(query: String, maxDist: Int = 2, cap: Int = 64,
+                   penalty: Double = 0.06, alpha: Double = 0.4,
+                   margin: Double = 2.0): Option[String] = {
+    import org.apache.spark.sql.functions.{length => slen, levenshtein, lit, not}
+    val terms = Tokenizers.default(query).toSeq
+    if (terms.isEmpty) return None
+    val N = math.max(stats.numDocs, 1L).toDouble
+    val dfsOrig = dfOf(terms.distinct)
+    var changed = false
+    val out = new scala.collection.mutable.ArrayBuffer[String](terms.length)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      val prev = if (i == 0) None else Some(out(i - 1))
+      val cands: Seq[String] =
+        (termsWhere(
+          not($"term".contains(" ")) &&
+            slen($"term").between(t.length - maxDist, t.length + maxDist) &&
+            levenshtein($"term", lit(t)) <= maxDist, cap) :+ t).distinct
+      val dfs = dfOf(cands)
+      val df2 = prev.map { p =>
+        dfOf(cands.map(c => Fields.bigramTerm(p, c)))
+      }.getOrElse(Map.empty)
+      val dfPrev = prev.map(p => dfsOrig.getOrElse(p,
+        dfOf(Seq(p)).getOrElse(p, 0L))).getOrElse(0L)
+      def dist(c: String): Int = {
+        // tiny Levenshtein for the final scoring pass
+        val m = Array.tabulate(t.length + 1, c.length + 1) { (a, b) =>
+          if (a == 0) b else if (b == 0) a else 0
+        }
+        var a = 1
+        while (a <= t.length) {
+          var b = 1
+          while (b <= c.length) {
+            val cost = if (t.charAt(a - 1) == c.charAt(b - 1)) 0 else 1
+            m(a)(b) = math.min(math.min(m(a - 1)(b) + 1, m(a)(b - 1) + 1),
+              m(a - 1)(b - 1) + cost)
+            b += 1
+          }
+          a += 1
+        }
+        m(t.length)(c.length)
+      }
+      def score(c: String): Double = {
+        val uni = dfs.getOrElse(c, 0L).toDouble / N
+        val ctx = prev match {
+          case Some(_) if dfPrev > 0 =>
+            val b = df2.getOrElse(Fields.bigramTerm(prev.get, c), 0L).toDouble
+            if (b > 0) b / dfPrev.toDouble else alpha * uni
+          case _ => uni
+        }
+        ctx * math.pow(penalty, dist(c).toDouble)
+      }
+      val own = score(t)
+      val best = cands.maxBy(score)
+      if (best != t && score(best) > own * margin && dfs.getOrElse(best, 0L) > 0) {
+        out += best; changed = true
+      } else out += t
+    }
+    if (changed) Some(out.mkString(" ")) else None
+  }
+
   /** Approximate budgeted search (the ShortCircuitQuery + max-docs
     * path, reference shortcircuit.rs + top_docs.rs:100-124): each
     * segment only considers its top `maxDocsPerSegment` docs by static

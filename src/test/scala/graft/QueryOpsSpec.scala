@@ -128,6 +128,18 @@ class QueryOpsSpec extends AnyFunSuite {
     assert(hits.toSeq == want.toSeq)
   }
 
+  test("spell correction: misspellings of frequent terms fix, real words keep") {
+    // "spark" is frequent corpus vocabulary; "sparc" is 1 edit away
+    assert(index.spellCorrect("sparc data") == Some("spark data"))
+    // real frequent words stay untouched
+    assert(index.spellCorrect("spark data") == None)
+    // garbage with no near neighbor stays untouched
+    assert(index.spellCorrect("zzqqzzyy") == None)
+    // context (bigram backoff) or unigram alone must still fix mid-query
+    val fixed = index.spellCorrect("the sparc session")
+    assert(fixed.exists(_.contains("spark")), fixed.toString)
+  }
+
   test("budgeted hits come from the high-static-rank prefix") {
     val budget = 10
     val (hits, _, sat) = index.searchApprox("the", 5, budget)
