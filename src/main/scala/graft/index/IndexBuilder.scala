@@ -376,8 +376,6 @@ object IndexBuilder {
     import spark.implicits._
     val t0 = System.nanoTime()
     new java.io.File(manifestDir(outDir)).mkdirs()
-
-    val done = completedSegments(outDir)
     val S = cfg.numSegments
 
     val tagged = input.map { d =>
@@ -427,8 +425,11 @@ object IndexBuilder {
 
     val allStats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
       .select("stat.*").as[SegStatRow].collect()
+    // skipped counts batch-marker skips only: segment manifests without
+    // a batch marker (a crashed pre-marker run) are REBUILT, so they
+    // must not report as skipped
     BuildReport(allStats.map(_.numDocs).sum, allStats.map(_.numTokens).sum,
-      built, math.max(done.size, skipped), (System.nanoTime() - t0) / 1000000)
+      built, skipped, (System.nanoTime() - t0) / 1000000)
   }
 
   /** Shared segment-build stage: shuffle to segments, sort, accumulate,
