@@ -181,6 +181,21 @@ object Bench {
     idx.searchBatchRaw(batchQs)
     val batchPerQuery = (System.nanoTime() - tb0) / 1e9 / batchQs.size
 
+    // serving tier: driver-local searcher (term-cached posting rows,
+    // resident fieldnorms) — the reference's shard-serving analog
+    val searcher = new graft.index.Searcher(idx)
+    val servQs = batchQs.map(_._2)
+    servQs.foreach(q => searcher.searchRaw(q, 20)) // warm fetch+JIT
+    val servLats = (0 until 5).flatMap { _ =>
+      servQs.map { q =>
+        val t0 = System.nanoTime()
+        searcher.searchRaw(q, 20)
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val servP50 = pct(servLats, 0.50)
+    val servP95 = pct(servLats, 0.95)
+
     // scaling last: the cheap sections are done before the expensive
     // fresh-JVM builds, and the budget bounds the worst case. Stop the
     // parent SparkSession FIRST — its multi-GB executor heap and block
@@ -195,7 +210,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"query_p50_sec":$p50%.4f,"query_p95_sec":$p95%.4f,"query_batch_amortized_sec":$batchPerQuery%.4f$extra}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"query_p50_sec":$p50%.4f,"query_p95_sec":$p95%.4f,"query_batch_amortized_sec":$batchPerQuery%.4f,"serving_p50_sec":$servP50%.6f,"serving_p95_sec":$servP95%.6f$extra}""")
     if (!scaling) spark.stop()
   }
 }

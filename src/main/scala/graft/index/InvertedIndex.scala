@@ -70,6 +70,19 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       Some(spark.sparkContext.broadcast(all))
     }
 
+  /** All fieldnorm arrays collected to the driver (serving tier). */
+  def residentFnormsLocal: Map[Int, Map[Int, Array[Byte]]] =
+    fnorms.collect().groupBy(_.segment).map { case (seg, chunks) =>
+      seg -> assembleFnorms(chunks.iterator)
+    }
+
+  /** Posting rows for `terms` via one pushed-down scan, grouped by
+    * term (serving tier fetch). */
+  def postingRows(terms: Seq[String]): Map[String, Array[PostingRow]] = {
+    if (terms.isEmpty) return Map.empty
+    postings.filter($"term".isin(terms: _*)).collect().groupBy(_.term)
+  }
+
   /** Per-term collection document frequency (Catalyst aggregate). */
   def dfOf(terms: Seq[String]): Map[String, Long] = {
     if (terms.isEmpty) return Map.empty

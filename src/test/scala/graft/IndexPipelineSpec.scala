@@ -69,6 +69,23 @@ class IndexPipelineSpec extends AnyFunSuite {
     assert(idx.docs.filter(_.segment == 1).count() == 1)
   }
 
+  test("Ingest: format-agnostic table contract + fidelity report") {
+    import spark.implicits._
+    // parquet face of the exact Iceberg input schema
+    val p = tmpDir() + "/src"
+    corpus.toDF().write.parquet(p)
+    val docs = Ingest.sourceDocs(spark, p, format = "parquet")
+    assert(docs.count() == 800)
+    assert(docs.columns.toSeq == Ingest.Columns)
+    val (ok, bad, missing) = Ingest.fidelityReport(spark, docs, dir)
+    assert(ok == 800 && bad == 0 && missing == 0)
+    // a corrupted row is caught
+    val tampered = docs.map(d =>
+      if (d.path.endsWith("file_0001.rs")) d.copy(content = d.content + " x") else d)
+    val (_, bad2, _) = Ingest.fidelityReport(spark, tampered, dir)
+    assert(bad2 == tampered.collect().count(_.content.endsWith(" x")))
+  }
+
   test("per-row sha256 fidelity vs ingest") {
     import spark.implicits._
     val fromIndex = index.docs.map(d => (d.repo, d.path, d.sha256))
