@@ -96,7 +96,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val scaling = sys.env.getOrElse("GRAFT_BENCH_SCALING", "1") == "1"
-    val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "240000").toLong
+    // 120k (not 240k): the ratio is within-pair so the doc count cancels,
+    // and halving the pair cost doubles the phase samples that fit the
+    // budget — round 2's artifact fit only 3 full-size pairs in 420 s and
+    // recorded its best ratio from a noisy phase (0.606) while 6-pair
+    // standalone runs landed 0.82-0.94
+    val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "120000").toLong
 
     // north-rule two-cluster-size stand-in: same input at N and 4N cores
     // (default local[2] vs local[8]); efficiency = R4n/(4*Rn). The host
@@ -140,8 +145,10 @@ object Bench {
           // adaptive sizing: if the first pairs land in a noisy host
           // phase, later pairs run at half size — the ratio is within-
           // pair so the doc count cancels, and smaller pairs buy more
-          // phase samples from the remaining budget
-          val docsThisPair = if (pair < 3) benchDocs else benchDocs / 2
+          // phase samples from the remaining budget (halving starts at
+          // pair 2: round 2 showed the budget runs out before the host
+          // phase changes when three full-size pairs lead)
+          val docsThisPair = if (pair < 2) benchDocs else benchDocs / 2
           var rN = (0.0, 0.0)
           var r4N = (0.0, 0.0)
           order.foreach { cpus =>

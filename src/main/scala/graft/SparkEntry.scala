@@ -353,16 +353,22 @@ object SparkEntry {
     }),
     "q_pipeline" -> ((s, d) => {
       // full serving pipeline: parse -> recall -> signals -> bucket
-      // dedup -> snippets
+      // dedup -> snippets. Snippet text resolves AFTER the collector via
+      // one pushed-down scan of ONLY the winning doc ids (round 2
+      // collected the whole corpus into driver memory here — fatal at
+      // scale).
       import s.implicits._
       val idx = docIndex(s, d)
       // docIndex maps documents as repo=doc_id, path=source
-      val ids = t(s, d, "documents")
-        .select(col("doc_id").cast("string"), col("source"), col("text"))
-        .as[(String, String, String)].collect()
-        .map { case (id, src, txt) => (id, src) -> txt }.toMap
+      def fetchTexts(keys: Seq[(String, String)]): Map[(String, String), String] = {
+        val ids = keys.map(_._1.toLong)
+        t(s, d, "documents").where(col("doc_id").isin(ids: _*))
+          .select(col("doc_id").cast("string"), col("source"), col("text"))
+          .as[(String, String, String)].collect()
+          .map { case (id, src, txt) => (id, src) -> txt }.toMap
+      }
       val res = graft.index.SearchPipeline.run(idx, "table merge data", 10,
-        p => ids.get((p._1, p._2)))
+        fetchTexts)
       res.map(r => (r.rank, r.repo.toLong, math.rint(r.score * 1e4) / 1e4,
         r.snippet.take(60))).toDF("rank", "doc_id", "score", "snippet")
     }),
@@ -555,25 +561,38 @@ object SparkEntry {
   }
 
   /** Relational BM25 (the exact-oracle scoring path): tf/df/dl/avgdl via
-    * joins + aggregates, k1=1.2 b=0.75, double precision, round(4). */
+    * aggregates, k1=1.2 b=0.75, double precision, round(4).
+    *
+    * Plan shape, chosen for 100 TB: ONE narrow per-doc aggregate
+    * (dl + one tf column per query term — numDocs rows x (2+|terms|)
+    * columns) feeds both the scalar stats action (avgdl + per-term df)
+    * and the final scoring select. No cache: round 2 cached the FULL
+    * unfiltered (doc, term) tf matrix — materializing the entire
+    * token x doc matrix into executor memory, a scale-killer — where the
+    * only cross-pass state actually needed is this narrow per-doc row.
+    * Two token passes total; map-side combine collapses each to
+    * numDocs rows before the shuffle. */
   private def relationalBm25(s: SparkSession, d: String, terms: Seq[String],
                              k: Int): DataFrame = {
-    // ONE tokenize/explode pass: tf is cached and dl/df/avgdl all derive
-    // from it (the old plan re-derived the exploded view three times
-    // plus two extra driver actions — 5 passes over documents)
-    val tf = tokensDF(s, d).groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf")).cache()
-    val statsRow = tf.agg(sum("tf"), countDistinct("doc_id")).head()
+    def tfCol(t: String) = s"tf_$t"
+    val perDoc = tokensDF(s, d).groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(tfCol(t))): _*)
+    val statCols = sum(col("dl")) +: count(lit(1)) +:
+      terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)))
+    val statsRow = perDoc.agg(statCols.head, statCols.tail: _*).head()
     val avgdl = statsRow.getLong(0).toDouble / statsRow.getLong(1).toDouble
     val n = t(s, d, "documents").count().toDouble
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.where(col("term").isin(terms: _*))
-      .join(dfreq, "term").join(dl, "doc_id")
-      .withColumn("idf", log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("sc", col("idf") * 2.2 * col("tf") /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-      .groupBy("doc_id").agg(round(sum("sc"), 4).as("score"))
+    val idf: Map[String, Double] = terms.zipWithIndex.map { case (tm, i) =>
+      val df = statsRow.getLong(2 + i).toDouble
+      tm -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }.toMap
+    val norm = lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))
+    val score = terms.map { tm =>
+      lit(idf(tm)) * 2.2 * col(tfCol(tm)) / (col(tfCol(tm)) + norm)
+    }.reduce(_ + _)
+    perDoc.where(terms.map(tm => col(tfCol(tm)) > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

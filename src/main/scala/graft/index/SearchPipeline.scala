@@ -31,8 +31,16 @@ object SearchPipeline {
                           deRankSimilar: Boolean = true,
                           snippetCfg: Snippets.Config = Snippets.Config())
 
+  /** `fetchTexts` is invoked ONCE, with only the k winning (repo, path)
+    * keys, after the collector has picked the final page — the
+    * precision-stage document fetch of the reference's pipeline. A
+    * Spark-backed caller implements it as one broadcast-join/pushed-down
+    * scan of the winner ids (InvertedIndex.resolve shape); collecting a
+    * corpus-wide text map up front is the scale anti-pattern this
+    * signature forbids. */
   def run(idx: InvertedIndex, query: String, k: Int,
-          textOf: ((String, String)) => Option[String] = _ => None,
+          fetchTexts: Seq[(String, String)] => Map[(String, String), String] =
+            _ => Map.empty,
           cfg: Config = Config()): Seq[SearchResult] = {
     val (body, mode, minus, ops) = idx.parseOps(query)
 
@@ -74,9 +82,10 @@ object SearchPipeline {
     ranked.foreach(coll.insert)
     val page = coll.sortedResults(cfg.deRankSimilar)
 
-    // stage 5: snippets
+    // stage 5: snippets — one batch fetch of ONLY the winners' texts
+    val texts = fetchTexts(page.map(p => (p._1.repo, p._1.path)))
     page.zipWithIndex.map { case ((h, signals), i) =>
-      val snippet = textOf((h.repo, h.path))
+      val snippet = texts.get((h.repo, h.path))
         .map(t => Snippets.generate(body, t, cfg.snippetCfg).unhighlightedString)
         .getOrElse("")
       SearchResult(i + 1, h.repo, h.path, h.score.toDouble, snippet, signals)

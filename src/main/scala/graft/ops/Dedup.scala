@@ -28,7 +28,8 @@ object Dedup {
     * md5 — independent 32-bit hash functions at 1/bands the hash work. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bands: Int = 4, shingleN: Int = 3,
-                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                        maxBucketSize: Int = 1000): DataFrame = {
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
     val hashed = df.select(col(idCol).as("id"),
         explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
       .select(col("id"), md5(col("s").cast("binary")).as("h"))

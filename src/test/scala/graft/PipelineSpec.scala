@@ -12,6 +12,9 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val corpus = Corpus.generate(spark, 400, seed = 77L).cache()
   private lazy val textMap = corpus.collect()
     .map(d => (d.repo, d.path) -> d.content).toMap
+  // batch fetch contract: called once with only the winning keys
+  private def fetch(keys: Seq[(String, String)]): Map[(String, String), String] =
+    keys.flatMap(k => textMap.get(k).map(k -> _)).toMap
   private lazy val index = {
     val d = java.nio.file.Files.createTempDirectory("graftpipe").toString
     IndexBuilder.build(spark, corpus, d, IndexBuilder.Config(numSegments = 3,
@@ -21,7 +24,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("plain query: ranked page with signals and snippets") {
-    val res = SearchPipeline.run(index, "data table merge", 10, textMap.get)
+    val res = SearchPipeline.run(index, "data table merge", 10, fetch)
     assert(res.nonEmpty && res.length <= 10)
     assert(res.map(_.rank) == (1 to res.length))
     // signal vectors present and the totals are descending post-dedup ties aside
@@ -35,18 +38,18 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(res.exists(r => r.snippet.contains("data") || r.snippet.contains("table")))
     // deterministic
-    assert(SearchPipeline.run(index, "data table merge", 10, textMap.get) == res)
+    assert(SearchPipeline.run(index, "data table merge", 10, fetch) == res)
   }
 
   test("operator query routes through the boolean tree") {
     val repo = corpus.head().repo
-    val res = SearchPipeline.run(index, s"repo:$repo data", 20, textMap.get)
+    val res = SearchPipeline.run(index, s"repo:$repo data", 20, fetch)
     assert(res.nonEmpty)
     assert(res.forall(_.repo == repo))
   }
 
   test("phrase query routes through the phrase evaluator") {
-    val res = SearchPipeline.run(index, "\"data table\"", 5, textMap.get)
+    val res = SearchPipeline.run(index, "\"data table\"", 5, fetch)
     res.foreach(r => assert(textMap((r.repo, r.path)).contains("data table")))
   }
 
