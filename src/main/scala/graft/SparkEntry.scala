@@ -330,17 +330,19 @@ object SparkEntry {
     "q_index_wand" -> ((s, d) => indexWandTopK(s, d)),
     "q_engine_phrase" -> ((s, d) => {
       val idx = docIndex(s, d)
-      hitsDF(s, idx.search("data table", 20, "phrase"))
+      canonicalHitsDF(s, idx.search("data table", 20, "phrase"))
     }),
     "q_engine_expanded" -> ((s, d) => {
       // field expansion + compound bigrams (stemmed + ngram fields)
       val idx = docIndex(s, d)
-      hitsDF(s, idx.search("merging data tables", 20, "or+"))
+      canonicalHitsDF(s, idx.search("merging data tables", 20, "or+"))
     }),
     "q_engine_prefix" -> ((s, d) => {
+      // content-dictionary prefix expansion ("s" -> scan/slow/small/
+      // sort/spark/stream) under one WAND
       val idx = docIndex(s, d)
-      val raw = idx.searchPrefix("wind", 20)
-      hitsDF(s, idx.resolve(raw, raw.length))
+      val raw = idx.searchPrefix("s", 20)
+      canonicalHitsDF(s, idx.resolve(raw, raw.length))
     }),
     "q_spell" -> ((s, d) => {
       // did-you-mean over the index term dictionary (stupid-backoff
@@ -558,6 +560,330 @@ object SparkEntry {
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
        |       doc_id, CAST(score AS DOUBLE) AS score
        |FROM tot ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Engine-oracle toolkit: DuckDB replicas of the ENGINE's f32 scoring
+  // over the shadow-field index, extending the q_index_wand technique
+  // (engineBm25OracleSql) to boolean trees, dictionary-prefix
+  // expansion, phrases, BM25F and field expansion. DuckDB REAL
+  // arithmetic is native f32; per-term scores combine in the engine's
+  // ord order — fixed-order nested additions for static term lists,
+  // `list_reduce(list(s ORDER BY ord), +)` for dynamic expansions (the
+  // fold is left-assoc like the engine's accumulation; adding an
+  // absent term's 0.0f is an exact f32 identity). The u8 log-quantized
+  // fieldnorm table rides inline as VALUES. Scores are emitted
+  // UNROUNDED: any replication drift fails the driver hash loudly.
+  //
+  // Like lshKnnOracleSql's inlined hyperplanes, engine-side model
+  // constants are inlined: the Porter stems of the testdata
+  // generator's fixed 31-term vocabulary ride as a VALUES map so the
+  // stemmed shadow field is SQL-joinable. The oracle verifies the
+  // tokenize->build->codec->scorer machinery end-to-end; the stemmer
+  // itself is gated by StemmerSpec. Out-of-vocab corpora fail the hash
+  // loudly rather than passing vacuously.
+
+  private val CorpusVocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** The testdata generator's language column values. The build
+    * dispatches the stemmer PER DOCUMENT LANGUAGE (like the reference's
+    * per-doc Snowball selection), so the stem map is per (lang, term):
+    * e.g. French keeps "table" while Porter yields "tabl". */
+  private val CorpusLangs: Seq[String] = Seq("en", "de", "zh", "fr", "es")
+
+  /** Shared CTE prefix: tokens + adjacency, per-doc lengths, f32
+    * collection stats (content avg + bigram-field avg2), quantized
+    * fieldnorm values for content (fnid) and the bigram shadow field
+    * (fnid2), and the vocab->stem map with stemmed-field tf/df (stf/
+    * sdf). DuckDB prunes CTEs an oracle does not reference. */
+  private def engineCtes: String = {
+    val fnValues = graft.core.FieldNorm.Table.map(v => s"($v)").mkString(",")
+    val stemValues = (for {
+      lang <- CorpusLangs
+      t <- CorpusVocab
+    } yield s"('$lang','$t','${graft.core.Stemmers.forLanguage(lang)(t)}')")
+      .mkString(",")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term,
+       |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang, term FROM toks WHERE term <> ''),
+       |adj AS (SELECT doc_id, term,
+       |               LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |        FROM toks WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              CAST((SELECT count(*) FROM tok) AS REAL)
+       |                / CAST((SELECT count(*) FROM documents) AS REAL) AS avg,
+       |              CAST(greatest((SELECT count(*) FROM tok)
+       |                            - (SELECT count(*) FROM documents), 1) AS REAL)
+       |                / CAST((SELECT count(*) FROM documents) AS REAL) AS avg2),
+       |fnt AS (SELECT * FROM (VALUES $fnValues) t(v)),
+       |fnid AS (SELECT d.doc_id, max(f.v) AS fn
+       |         FROM dl d JOIN fnt f ON f.v <= d.dl GROUP BY 1),
+       |fnid2 AS (SELECT d.doc_id, max(f.v) AS fn
+       |          FROM dl d JOIN fnt f ON f.v <= greatest(d.dl - 1, 0) GROUP BY 1),
+       |stemmap AS (SELECT * FROM (VALUES $stemValues) m(lang, term, stem)),
+       |stf AS (SELECT t.doc_id, m.stem, count(*) AS tf
+       |        FROM tok t JOIN stemmap m
+       |          ON t.term = m.term AND t.lang = m.lang GROUP BY 1, 2),
+       |sdf AS (SELECT m.stem, count(DISTINCT t.doc_id) AS df
+       |        FROM tok t JOIN stemmap m
+       |          ON t.term = m.term AND t.lang = m.lang GROUP BY 1)""".stripMargin
+  }
+
+  /** f32 idf (Bm25.idf): x in f32, ln in double of (1f+x), cast back. */
+  private def idfSql(dfSql: String): String =
+    s"CAST(ln(CAST(1.0::REAL + ((CAST(st.n - ($dfSql) AS REAL) + 0.5::REAL) / (CAST(($dfSql) AS REAL) + 0.5::REAL)) AS DOUBLE)) AS REAL)"
+
+  /** Content-field df of a term text (0 when absent, like dfOf). */
+  private def dfText(t: String): String =
+    s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = '$t')"
+
+  /** f32 BM25 norm: k1*(1-b + b*fn/avg) in the engine's op order. */
+  private def normSql(fnSql: String, avgSql: String): String =
+    s"1.2::REAL * (0.25::REAL + 0.75::REAL * CAST($fnSql AS REAL) / $avgSql)"
+
+  /** Bm25Weight.score: (idf*2.2) * (tf/(tf+norm)). */
+  private def bmScoreSql(tfSql: String, dfSql: String, fnSql: String,
+                         avgSql: String): String =
+    s"(${idfSql(dfSql)} * 2.2::REAL) * (CAST($tfSql AS REAL) / (CAST($tfSql AS REAL) + ${normSql(fnSql, avgSql)}))"
+
+  /** Bm25FWeight.score: (idf * (tf*coeff*2.2)) / (tf*coeff + norm). */
+  private def bmfScoreSql(tfSql: String, coeff: String, dfSql: String,
+                          fnSql: String, avgSql: String): String = {
+    val tfc = s"(CAST($tfSql AS REAL) * $coeff)"
+    s"((${idfSql(dfSql)}) * ($tfc * 2.2::REAL)) / ($tfc + ${normSql(fnSql, avgSql)})"
+  }
+
+  /** Canonical top-k footer over a `tot(doc_id, score)` CTE — the
+    * driver-face shape of canonicalHitsDF. */
+  private def rankedTopK(k: Int): String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |       doc_id, CAST(score AS DOUBLE) AS score
+       |FROM tot ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** q_engine_bool: must [table|data], should [merge], mustNot
+    * [slow&batch] — membership per BooleanQuery.evaluate, score = f32
+    * sum in evaluate's accumulation order (table, data, merge). */
+  private def engineBoolOracleSql: String =
+    s"""$engineCtes,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ('table','data','merge','slow','batch')
+       |       GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       |        WHERE term IN ('table','data','merge') GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |              ${bmScoreSql("tf.tf", "dfq.df", "fnid.fn", "st.avg")} AS s
+       |       FROM tf JOIN dfq USING (term)
+       |       JOIN fnid ON fnid.doc_id = tf.doc_id, st),
+       |mem AS (SELECT doc_id FROM tf GROUP BY doc_id
+       |        HAVING max(CASE WHEN term IN ('table','data') THEN 1 ELSE 0 END) = 1
+       |           AND NOT (max(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) = 1
+       |                AND max(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) = 1)),
+       |tot AS (SELECT m.doc_id,
+       |        ((coalesce(max(CASE WHEN term = 'table' THEN s END), 0.0::REAL)
+       |          + coalesce(max(CASE WHEN term = 'data' THEN s END), 0.0::REAL))
+       |          + coalesce(max(CASE WHEN term = 'merge' THEN s END), 0.0::REAL)) AS score
+       |        FROM mem m JOIN sc ON sc.doc_id = m.doc_id GROUP BY 1)
+       |${rankedTopK(20)}""".stripMargin
+
+  /** q_engine_phrase "data table": phrase freq = adjacency count,
+    * scored with the idf-sum MultiBm25 weight over the content fnorm. */
+  private def enginePhraseOracleSql: String =
+    s"""$engineCtes,
+       |pf AS (SELECT doc_id, count(*) AS pf FROM adj
+       |       WHERE term = 'data' AND nxt = 'table' GROUP BY 1),
+       |w AS (SELECT ((${idfSql(dfText("data"))} * 2.2::REAL)
+       |             + (${idfSql(dfText("table"))} * 2.2::REAL)) AS wsum FROM st),
+       |tot AS (SELECT pf.doc_id,
+       |        (w.wsum * (CAST(pf.pf AS REAL) / (CAST(pf.pf AS REAL)
+       |          + ${normSql("fnid.fn", "st.avg")}))) AS score
+       |        FROM pf JOIN fnid ON fnid.doc_id = pf.doc_id, w, st)
+       |${rankedTopK(20)}""".stripMargin
+
+  /** q_engine_prefix 's': content-dictionary expansion (sorted, capped
+    * at the 32-term query cap) under one WAND; per-doc f32 sum in
+    * sorted-term ord order via list_reduce. */
+  private def enginePrefixOracleSql: String =
+    s"""$engineCtes,
+       |cand AS (SELECT DISTINCT term FROM tok WHERE term LIKE 's%'
+       |         ORDER BY term LIMIT 32),
+       |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       |       FROM tok t JOIN cand c ON t.term = c.term GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |              ${bmScoreSql("tf.tf", "dfq.df", "fnid.fn", "st.avg")} AS s
+       |       FROM tf JOIN dfq USING (term)
+       |       JOIN fnid ON fnid.doc_id = tf.doc_id, st),
+       |tot AS (SELECT doc_id,
+       |               list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+       |        FROM sc GROUP BY doc_id)
+       |${rankedTopK(20)}""".stripMargin
+
+  /** q_engine_expanded "merging data tables" (or+): the expansion list
+    * is [merging, data, tables, s·merg, s·data, s·tabl, 2·mergingdata,
+    * 2·datatables, 3·...]; of these only content 'data' and the three
+    * stemmed-field terms exist in this corpus ('merging'/'tables' are
+    * out-of-vocab, the compound n-grams have df 0) — f32 sum in
+    * expansion ord order. */
+  private def engineExpandedOracleSql: String = {
+    def stemScore(ord: Int, stem: String): String =
+      s"""SELECT f.doc_id, $ord AS ord,
+         |       ${bmScoreSql("f.tf", s"(SELECT df FROM sdf WHERE stem = '$stem')",
+                              "fnid.fn", "st.avg")} AS s
+         |FROM stf f JOIN fnid ON fnid.doc_id = f.doc_id, st
+         |WHERE f.stem = '$stem'""".stripMargin
+    s"""$engineCtes,
+       |ctf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data'
+       |        GROUP BY 1),
+       |sc AS (
+       |  SELECT c.doc_id, 1 AS ord,
+       |         ${bmScoreSql("c.tf", "(SELECT count(*) FROM ctf)", "fnid.fn", "st.avg")} AS s
+       |  FROM ctf c JOIN fnid ON fnid.doc_id = c.doc_id, st
+       |  UNION ALL
+       |  ${stemScore(2, "merg")}
+       |  UNION ALL
+       |  ${stemScore(3, "data")}
+       |  UNION ALL
+       |  ${stemScore(4, "tabl")}),
+       |tot AS (SELECT doc_id,
+       |               list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS score
+       |        FROM sc GROUP BY doc_id)
+       |${rankedTopK(20)}""".stripMargin
+  }
+
+  /** q_engine_bm25f "table merge window": per-(term, field) scores in
+    * plan order — content x3 (coeff 1.0), stemmed x3 (0.5, shared idf
+    * from the CONTENT df of the stem text), bigram x2 (0.25, own
+    * fieldnorms fnid2 + avg2) — summed f32 in plan ord. */
+  private def engineBm25fOracleSql: String = {
+    def content(ord: Int, t: String): String =
+      s"""SELECT x.doc_id, $ord AS ord,
+         |       ${bmfScoreSql("x.tf", "1.0::REAL", dfText(t), "fnid.fn", "st.avg")} AS s
+         |FROM tfq x JOIN fnid ON fnid.doc_id = x.doc_id, st WHERE x.term = '$t'""".stripMargin
+    def stem(ord: Int, sm: String): String =
+      s"""SELECT f.doc_id, $ord AS ord,
+         |       ${bmfScoreSql("f.tf", "0.5::REAL", dfText(sm), "fnid.fn", "st.avg")} AS s
+         |FROM stf f JOIN fnid ON fnid.doc_id = f.doc_id, st WHERE f.stem = '$sm'""".stripMargin
+    def bigram(ord: Int, bg: String): String =
+      s"""SELECT b.doc_id, $ord AS ord,
+         |       ${bmfScoreSql("b.tf", "0.25::REAL", dfText(bg), "fnid2.fn", "st.avg2")} AS s
+         |FROM btf b JOIN fnid2 ON fnid2.doc_id = b.doc_id, st WHERE b.bg = '$bg'""".stripMargin
+    s"""$engineCtes,
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |        WHERE term IN ('table','merge','window') GROUP BY 1, 2),
+       |btf AS (SELECT doc_id, term || nxt AS bg, count(*) AS tf FROM adj
+       |        WHERE (term = 'table' AND nxt = 'merge')
+       |           OR (term = 'merge' AND nxt = 'window') GROUP BY 1, 2),
+       |sc AS (
+       |  ${content(1, "table")}
+       |  UNION ALL
+       |  ${content(2, "merge")}
+       |  UNION ALL
+       |  ${content(3, "window")}
+       |  UNION ALL
+       |  ${stem(4, "tabl")}
+       |  UNION ALL
+       |  ${stem(5, "merg")}
+       |  UNION ALL
+       |  ${stem(6, "window")}
+       |  UNION ALL
+       |  ${bigram(7, "tablemerge")}
+       |  UNION ALL
+       |  ${bigram(8, "mergewindow")}),
+       |tot AS (SELECT doc_id,
+       |               list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS score
+       |        FROM sc GROUP BY doc_id)
+       |${rankedTopK(20)}""".stripMargin
+  }
+
+  /** FNV-1a 64 of a string column, bit-exactly IndexBuilder.fnv1a64:
+    * HUGEINT fold over UTF-16 code units with mod-2^64 wrapping (the
+    * corpus is ASCII so code units == bytes == chars). */
+  private def fnvSql(sSql: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(string_split($sSql, ''), ch -> ord(ch)::HUGEINT)),
+       |    (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+       |              % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Unsigned-u64 HUGEINT -> signed BIGINT (JVM Long semantics). */
+  private def signedSql(uSql: String): String =
+    s"""CAST(CASE WHEN $uSql >= 9223372036854775808::HUGEINT
+       |          THEN $uSql - 18446744073709551616::HUGEINT
+       |          ELSE $uSql END AS BIGINT)""".stripMargin
+
+  /** Per-doc 64-bit SimHash (Dedup.simhash64): FNV-1a per token,
+    * majority vote per bit weighted by token multiplicity. Emits
+    * sg(doc_id, s BIGINT). */
+  private def simhashCtes(filter: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents WHERE $filter),
+       |tcnt AS (SELECT doc_id, term, count(*) AS cnt FROM tok
+       |         WHERE term <> '' GROUP BY 1, 2),
+       |vh AS (SELECT term, ${fnvSql("term")} AS h
+       |       FROM (SELECT DISTINCT term FROM tcnt)),
+       |th AS (SELECT t.doc_id, v.h, t.cnt FROM tcnt t JOIN vh v ON t.term = v.term),
+       |bits AS (SELECT doc_id, bb.b AS b,
+       |         sum(CASE WHEN (h // (1::HUGEINT << bb.b)) % 2 = 1
+       |                  THEN cnt ELSE -cnt END) AS c
+       |         FROM th, (SELECT unnest(range(64)) AS b) bb GROUP BY 1, 2),
+       |usig AS (SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::HUGEINT << b)
+       |                                 ELSE 0::HUGEINT END) AS u
+       |         FROM bits GROUP BY 1),
+       |sg AS (SELECT doc_id, ${signedSql("u")} AS s FROM usig)""".stripMargin
+
+  private def simhashOracleSql: String =
+    s"""${simhashCtes("doc_id < 100")}
+       |SELECT doc_id AS id, CAST(s AS VARCHAR) AS sig FROM sg ORDER BY id""".stripMargin
+
+  private def simhashPairsOracleSql: String =
+    s"""${simhashCtes("doc_id < 2000")}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS dist
+       |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q_multimodal_features: the STUB decoder is a deterministic FNV +
+    * xorshift-multiply mix (Multimodal.fakeDecodeFeatures) — replicated
+    * with HUGEINT mod-2^64 arithmetic so the whole binary-column
+    * plumbing (synthesize -> extract -> flatten) is driver-verified. */
+  private def multimodalFeaturesOracleSql: String = {
+    // (d * 0x9e3779b97f4a7c15) mod 2^64 for d = 0..3
+    val dd = Seq("0", "11400714819323198485", "4354685564936845354",
+      "15755400384260043839")
+    val ddVals = dd.zipWithIndex
+      .map { case (v, d) => s"($d, $v::HUGEINT)" }.mkString(",")
+    // (a * 0xbf58476d1ce4e5b9) mod 2^64 split 32/32 so the HUGEINT
+    // products stay under 2^127 (a full u64 x u64 overflows INT128):
+    // a*b = al*b + ((ah*bl) mod 2^32) << 32   (mod 2^64); bl = b & 0xffffffff
+    def mulC2(a: String): String =
+      s"""((($a % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+         |  + ((($a // 4294967296::HUGEINT) * 484763065::HUGEINT)
+         |     % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+         | % 18446744073709551616::HUGEINT)""".stripMargin
+    s"""WITH m AS (SELECT doc_id AS media_id, ${fnvSql("text")} AS h
+       |           FROM documents WHERE doc_id < 100),
+       |f0 AS (SELECT media_id, dv.d, xor(m.h, dv.dd) AS x0
+       |       FROM m CROSS JOIN (VALUES $ddVals) dv(d, dd)),
+       |f1 AS (SELECT media_id, d, xor(x0, x0 // 1073741824::HUGEINT) AS a FROM f0),
+       |f2 AS (SELECT media_id, d, ${mulC2("a")} AS x1 FROM f1),
+       |feat AS (SELECT media_id, d,
+       |         round(CAST(CAST(CAST((x1 // 2048::HUGEINT) AS DOUBLE)
+       |           / 9007199254740992.0 AS REAL) AS DOUBLE), 4) AS f
+       |         FROM f2)
+       |SELECT media_id,
+       |       max(CASE WHEN d = 0 THEN f END) AS f0,
+       |       max(CASE WHEN d = 1 THEN f END) AS f1,
+       |       max(CASE WHEN d = 2 THEN f END) AS f2,
+       |       max(CASE WHEN d = 3 THEN f END) AS f3
+       |FROM feat GROUP BY media_id ORDER BY media_id""".stripMargin
   }
 
   /** Relational BM25 (the exact-oracle scoring path): tf/df/dl/avgdl via
@@ -844,6 +1170,14 @@ object SparkEntry {
     "q_embed_lsh_knn" -> lshKnnOracleSql(3, 64, 8),
     "q_index_wand" -> engineBm25OracleSql(
       Seq("table", "merge", "window", "group", "data"), 20),
+    "q_engine_bool" -> engineBoolOracleSql,
+    "q_engine_phrase" -> enginePhraseOracleSql,
+    "q_engine_prefix" -> enginePrefixOracleSql,
+    "q_engine_expanded" -> engineExpandedOracleSql,
+    "q_engine_bm25f" -> engineBm25fOracleSql,
+    "q_simhash" -> simhashOracleSql,
+    "q_simhash_pairs" -> simhashPairsOracleSql,
+    "q_multimodal_features" -> multimodalFeaturesOracleSql,
     "q_json_tokens" ->
       """SELECT event_id, 'k="' || json_extract_string(props, '$.k') || '"' AS token
         |FROM events WHERE event_id < 500 ORDER BY event_id, token""".stripMargin,

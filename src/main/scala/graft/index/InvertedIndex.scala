@@ -353,9 +353,13 @@ final class InvertedIndex(spark: SparkSession, dir: String,
   /** Term-dictionary scan: all distinct terms matching a predicate
     * pushed down to the posting scan (the FST-automaton analog:
     * reference phrase_prefix/fuzzy/regex queries expand to term sets,
-    * automaton_weight.rs). Capped like the reference's expansions. */
+    * automaton_weight.rs). Capped like the reference's expansions.
+    * Expansion is CONTENT-field only: shadow-field terms carry a
+    * NUL-tagged field prefix (Fields) and are excluded, exactly as the
+    * reference's automata run over one field's dictionary range. */
   def termsWhere(pred: org.apache.spark.sql.Column, cap: Int = 64): Seq[String] =
-    postings.filter(pred).select($"term").distinct()
+    postings.filter(pred && !$"term".contains("\u0000"))
+      .select($"term").distinct()
       .orderBy($"term").limit(cap).collect().map(_.getString(0)).toSeq
 
   /** Prefix query: OR-WAND over all terms starting with `prefix`
@@ -828,7 +832,7 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       val prev = if (i == 0) None else Some(out(i - 1))
       val cands: Seq[String] =
         (termsWhere(
-          not($"term".contains(" ")) &&
+          not($"term".contains("\u0000")) &&
             slen($"term").between(t.length - maxDist, t.length + maxDist) &&
             levenshtein($"term", lit(t)) <= maxDist, cap) :+ t).distinct
       val dfs = dfOf(cands)

@@ -111,7 +111,7 @@ object Dedup {
     a.join(b, expr("a.b = b.b AND a.p = b.p AND a.id < b.id"))
       .where(hamming(col("a.simhash"), col("b.simhash")) <= k)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming(col("a.simhash"), col("b.simhash")).cast("int").as("dist"))
+        hamming(col("a.simhash"), col("b.simhash")).cast("long").as("dist"))
       .distinct()
   }
 

@@ -56,7 +56,7 @@ class OpsSpec extends AnyFunSuite {
   test("simhashPairs == brute-force hamming pairs (block bucket join)") {
     val df = docs.limit(150)
     val pairs = Dedup.simhashPairs(spark, df, "doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
     val sigs = Dedup.withSimhash(spark, df, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
