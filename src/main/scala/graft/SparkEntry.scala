@@ -346,11 +346,13 @@ object SparkEntry {
     }),
     "q_spell" -> ((s, d) => {
       // did-you-mean over the index term dictionary (stupid-backoff
-      // context via the bigram field + per-edit penalty)
+      // context via the bigram field + per-edit penalty); all queries
+      // share THREE batched scans (round 2 paid 3-4 jobs per term)
       import s.implicits._
       val idx = docIndex(s, d)
-      Seq("tabel merge", "window grup", "table merge")
-        .map(q => (q, idx.spellCorrect(q).getOrElse("")))
+      val qs = SpellQueries.map(_._1)
+      qs.zip(idx.spellCorrectBatch(qs))
+        .map { case (q, c) => (q, c.getOrElse("")) }
         .toDF("query", "corrected").orderBy("query")
     }),
     "q_pipeline" -> ((s, d) => {
@@ -850,6 +852,74 @@ object SparkEntry {
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Fixed two-term spell queries (query, and its token pair). */
+  private val SpellQueries: Seq[(String, (String, String))] = Seq(
+    "tabel merge" -> ("tabel", "merge"),
+    "window grup" -> ("window", "grup"),
+    "table merge" -> ("table", "merge"))
+
+  /** q_spell oracle: replicates spellCorrectBatch for two-term queries —
+    * per term, the sorted capped Levenshtein candidate pool from the
+    * content dictionary; term 0 scored by unigram df/N x penalty^dist,
+    * term 1 by stupid backoff over the CORRECTED term-0 context
+    * (adjacency df / df(prev), else alpha x unigram); a correction must
+    * beat the original by the margin and have df > 0. maxBy tie-break =
+    * first maximum in candidate order (pool order, original appended). */
+  private def spellOracleSql: String = {
+    def candidates(tag: String, t: String): String =
+      s"""cand$tag AS (
+         |  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS ord
+         |  FROM (SELECT DISTINCT term FROM tok
+         |        WHERE length(term) BETWEEN ${t.length - 2} AND ${t.length + 2}
+         |          AND levenshtein(term, '$t') <= 2
+         |        ORDER BY term LIMIT 64)),
+         |cx$tag AS (SELECT term, ord FROM cand$tag
+         |           UNION ALL SELECT '$t', 1000000 WHERE NOT EXISTS
+         |             (SELECT 1 FROM cand$tag WHERE term = '$t'))""".stripMargin
+    def winner(tag: String, t: String): String =
+      s"""b$tag AS (SELECT term, s FROM s$tag ORDER BY s DESC, ord LIMIT 1),
+         |w$tag AS (SELECT CASE WHEN b.term <> '$t'
+         |                  AND b.s > (SELECT s FROM s$tag WHERE term = '$t') * 2.0
+         |                  AND coalesce((SELECT df FROM dfx WHERE term = b.term), 0) > 0
+         |             THEN b.term ELSE '$t' END AS w FROM b$tag b)""".stripMargin
+    val groups = SpellQueries.zipWithIndex.map { case ((q, (t0, t1)), i) =>
+      val uniDf = "coalesce(d.df, 0)::DOUBLE / st.n"
+      val prevW = s"(SELECT w FROM w${i}_0)"
+      val prevDf = s"coalesce((SELECT df FROM dfx WHERE term = $prevW), 0)"
+      s"""${candidates(s"${i}_0", t0)},
+         |s${i}_0 AS (SELECT c.term, c.ord,
+         |            ($uniDf) * pow(0.06, levenshtein('$t0', c.term)) AS s
+         |            FROM cx${i}_0 c LEFT JOIN dfx d ON d.term = c.term, st),
+         |${winner(s"${i}_0", t0)},
+         |${candidates(s"${i}_1", t1)},
+         |bgc$i AS (SELECT c.term, count(DISTINCT a.doc_id) AS b
+         |          FROM cx${i}_1 c LEFT JOIN adj a
+         |            ON a.term = $prevW AND a.nxt = c.term
+         |          GROUP BY 1),
+         |s${i}_1 AS (SELECT c.term, c.ord,
+         |            (CASE WHEN $prevDf > 0
+         |                  THEN CASE WHEN bg.b > 0
+         |                            THEN bg.b::DOUBLE / ($prevDf)::DOUBLE
+         |                            ELSE 0.4 * ($uniDf) END
+         |                  ELSE $uniDf END)
+         |            * pow(0.06, levenshtein('$t1', c.term)) AS s
+         |            FROM cx${i}_1 c LEFT JOIN dfx d ON d.term = c.term
+         |                 JOIN bgc$i bg ON bg.term = c.term, st),
+         |${winner(s"${i}_1", t1)},
+         |r$i AS (SELECT '$q' AS query,
+         |        CASE WHEN (SELECT w FROM w${i}_0) = '$t0'
+         |              AND (SELECT w FROM w${i}_1) = '$t1' THEN ''
+         |             ELSE (SELECT w FROM w${i}_0) || ' ' ||
+         |                  (SELECT w FROM w${i}_1) END AS corrected)""".stripMargin
+    }
+    s"""$engineCtes,
+       |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |${groups.mkString(",\n")}
+       |SELECT query, corrected FROM (
+       |  ${SpellQueries.indices.map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")})
+       |ORDER BY query""".stripMargin
+  }
+
   /** q_multimodal_features: the STUB decoder is a deterministic FNV +
     * xorshift-multiply mix (Multimodal.fakeDecodeFeatures) — replicated
     * with HUGEINT mod-2^64 arithmetic so the whole binary-column
@@ -1178,6 +1248,7 @@ object SparkEntry {
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "q_multimodal_features" -> multimodalFeaturesOracleSql,
+    "q_spell" -> spellOracleSql,
     "q_json_tokens" ->
       """SELECT event_id, 'k="' || json_extract_string(props, '$.k') || '"' AS token
         |FROM events WHERE event_id < 500 ORDER BY event_id, token""".stripMargin,

@@ -820,62 +820,98 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * changed. */
   def spellCorrect(query: String, maxDist: Int = 2, cap: Int = 64,
                    penalty: Double = 0.06, alpha: Double = 0.4,
-                   margin: Double = 2.0): Option[String] = {
-    import org.apache.spark.sql.functions.{length => slen, levenshtein, lit, not}
-    val terms = Tokenizers.default(query).toSeq
-    if (terms.isEmpty) return None
+                   margin: Double = 2.0): Option[String] =
+    spellCorrectBatch(Seq(query), maxDist, cap, penalty, alpha, margin).head
+
+  /** Batched spell correction: THREE distributed jobs total for any
+    * number of queries (round 2 launched 3-4 jobs PER TERM) --
+    *  1. one pushed-down dictionary scan ORing every term's
+    *     length-band + Levenshtein predicate (candidate pools re-split
+    *     per term on the driver, preserving the per-term sorted cap);
+    *  2. one df fetch for all candidates;
+    *  3. one bigram-field df fetch for every plausible (prev-candidate,
+    *     candidate) context pair -- the corrected-prev chain then picks
+    *     from these driver-side.
+    * Scoring is unchanged (stupid backoff x per-edit penalty). */
+  def spellCorrectBatch(queries: Seq[String], maxDist: Int = 2, cap: Int = 64,
+                        penalty: Double = 0.06, alpha: Double = 0.4,
+                        margin: Double = 2.0): Seq[Option[String]] = {
+    import org.apache.spark.sql.functions.{length => slen, levenshtein, lit}
+    val termLists = queries.map(q => Tokenizers.default(q).toSeq)
+    val uniq = termLists.flatten.distinct
+    if (uniq.isEmpty) return queries.map(_ => None)
     val N = math.max(stats.numDocs, 1L).toDouble
-    val dfsOrig = dfOf(terms.distinct)
-    var changed = false
-    val out = new scala.collection.mutable.ArrayBuffer[String](terms.length)
-    terms.zipWithIndex.foreach { case (t, i) =>
-      val prev = if (i == 0) None else Some(out(i - 1))
-      val cands: Seq[String] =
-        (termsWhere(
-          not($"term".contains("\u0000")) &&
-            slen($"term").between(t.length - maxDist, t.length + maxDist) &&
-            levenshtein($"term", lit(t)) <= maxDist, cap) :+ t).distinct
-      val dfs = dfOf(cands)
-      val df2 = prev.map { p =>
-        dfOf(cands.map(c => Fields.bigramTerm(p, c)))
-      }.getOrElse(Map.empty)
-      val dfPrev = prev.map(p => dfsOrig.getOrElse(p,
-        dfOf(Seq(p)).getOrElse(p, 0L))).getOrElse(0L)
-      def dist(c: String): Int = {
-        // tiny Levenshtein for the final scoring pass
-        val m = Array.tabulate(t.length + 1, c.length + 1) { (a, b) =>
-          if (a == 0) b else if (b == 0) a else 0
-        }
-        var a = 1
-        while (a <= t.length) {
-          var b = 1
-          while (b <= c.length) {
-            val cost = if (t.charAt(a - 1) == c.charAt(b - 1)) 0 else 1
-            m(a)(b) = math.min(math.min(m(a - 1)(b) + 1, m(a)(b - 1) + 1),
-              m(a - 1)(b - 1) + cost)
-            b += 1
-          }
-          a += 1
-        }
-        m(t.length)(c.length)
+
+    def dist(t: String, c: String): Int = {
+      val m = Array.tabulate(t.length + 1, c.length + 1) { (a, b) =>
+        if (a == 0) b else if (b == 0) a else 0
       }
-      def score(c: String): Double = {
-        val uni = dfs.getOrElse(c, 0L).toDouble / N
-        val ctx = prev match {
-          case Some(_) if dfPrev > 0 =>
-            val b = df2.getOrElse(Fields.bigramTerm(prev.get, c), 0L).toDouble
-            if (b > 0) b / dfPrev.toDouble else alpha * uni
-          case _ => uni
+      var a = 1
+      while (a <= t.length) {
+        var b = 1
+        while (b <= c.length) {
+          val cost = if (t.charAt(a - 1) == c.charAt(b - 1)) 0 else 1
+          m(a)(b) = math.min(math.min(m(a - 1)(b) + 1, m(a)(b - 1) + 1),
+            m(a - 1)(b - 1) + cost)
+          b += 1
         }
-        ctx * math.pow(penalty, dist(c).toDouble)
+        a += 1
       }
-      val own = score(t)
-      val best = cands.maxBy(score)
-      if (best != t && score(best) > own * margin && dfs.getOrElse(best, 0L) > 0) {
-        out += best; changed = true
-      } else out += t
+      m(t.length)(c.length)
     }
-    if (changed) Some(out.mkString(" ")) else None
+
+    // job 1: one sorted dictionary scan covering every term's pool (the
+    // 2^20 bound keeps a pathological dictionary from collecting
+    // unbounded rows; per-term pools re-cap at `cap` below)
+    val pred = uniq.map(t =>
+      slen($"term").between(t.length - maxDist, t.length + maxDist) &&
+        levenshtein($"term", lit(t)) <= maxDist).reduce(_ || _)
+    val pool = termsWhere(pred, cap = 1 << 20)
+    val candsOf: Map[String, Seq[String]] = uniq.map { t =>
+      t -> ((pool.filter(c => math.abs(c.length - t.length) <= maxDist &&
+        dist(t, c) <= maxDist).take(cap) :+ t).distinct)
+    }.toMap
+
+    // job 2: unigram dfs for all candidates
+    val dfs = dfOf((candsOf.valuesIterator.flatten ++ uniq).toSeq.distinct)
+
+    // job 3: context-bigram dfs for every plausible (prev, cand) pair
+    val bigramTerms = termLists.flatMap { ts =>
+      ts.sliding(2).filter(_.length == 2).flatMap { w =>
+        for (p <- candsOf(w(0)); c <- candsOf(w(1)))
+          yield Fields.bigramTerm(p, c)
+      }
+    }.distinct
+    val df2 = dfOf(bigramTerms)
+
+    termLists.map { terms =>
+      if (terms.isEmpty) None
+      else {
+        var changed = false
+        val out = new scala.collection.mutable.ArrayBuffer[String](terms.length)
+        terms.zipWithIndex.foreach { case (t, i) =>
+          val prev = if (i == 0) None else Some(out(i - 1))
+          val cands = candsOf(t)
+          val dfPrev = prev.map(p => dfs.getOrElse(p, 0L)).getOrElse(0L)
+          def score(c: String): Double = {
+            val uni = dfs.getOrElse(c, 0L).toDouble / N
+            val ctx = prev match {
+              case Some(_) if dfPrev > 0 =>
+                val b = df2.getOrElse(Fields.bigramTerm(prev.get, c), 0L).toDouble
+                if (b > 0) b / dfPrev.toDouble else alpha * uni
+              case _ => uni
+            }
+            ctx * math.pow(penalty, dist(t, c).toDouble)
+          }
+          val own = score(t)
+          val best = cands.maxBy(score)
+          if (best != t && score(best) > own * margin && dfs.getOrElse(best, 0L) > 0) {
+            out += best; changed = true
+          } else out += t
+        }
+        if (changed) Some(out.mkString(" ")) else None
+      }
+    }
   }
 
   /** Approximate budgeted search (the ShortCircuitQuery + max-docs
