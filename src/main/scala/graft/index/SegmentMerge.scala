@@ -27,20 +27,28 @@ import graft.core.{BlockCodec, Bm25Weight, PostingListData, PostingsCursor}
   *    structure the north rule asks for: shard = salt, re-sharding on
   *    output bounds row size again).
   *
-  * Deviation from the reference, documented: the reference re-sorts the
-  * merged segment globally by precomputed score
-  * (indexer/doc_id_mapping.rs:120-141); we keep old-segment
-  * concatenation order so packed doc blocks stay valid under a constant
-  * base shift. Score-sorted iteration inside each old range is
-  * preserved; global score order across ranges is not (it only affects
-  * the ShortCircuit early-termination path, not BM25 top-k results).
+  *  - global score re-sort (reference indexer/doc_id_mapping.rs:120-141):
+  *    merged doc ids are re-assigned in precomputed-score order across
+  *    the whole merged segment — one window pass over the doc table
+  *    computes the permutation (row_number over (sortKey desc, repo,
+  *    path, commit), the exact order IndexBuilder assigns fresh ids in),
+  *    permutation rows ride the same shuffle as the posting rows
+  *    (kindOrder -1, so they sort first), and each term's merged list
+  *    remaps + re-sorts before re-encoding. This preserves the
+  *    index-wide docid-order invariant (inverted_index/mod.rs:195-204)
+  *    on merged segments, so ShortCircuit/searchApprox truncation keeps
+  *    its "top static-rank prefix" meaning — the reference pays the
+  *    same re-encode cost at merge time. A window partition holds one
+  *    merged segment's doc rows, the same memory class the merge task
+  *    itself needs.
   */
 object SegmentMerge {
 
   final case class MergeRow(segment: Int, kindOrder: Int, term: String,
                             oldSeg: Int, shard: Int,
                             posting: Option[PostingRow],
-                            fnorm: Option[FnormRow])
+                            fnorm: Option[FnormRow],
+                            newId: Int = -1)
 
   def merge(spark: SparkSession, inDir: String, outDir: String,
             fanIn: Int, cfg: IndexBuilder.Config = IndexBuilder.Config(),
@@ -71,18 +79,35 @@ object SegmentMerge {
     val maxShard = cfg.maxPostingsPerShard
     val fnChunk = cfg.fnormChunkSize
 
-    // 1) docs: narrow rewrite
-    in.docs.filter(d => segFilter(d.segment)).map { d =>
-      val ns = newSegOf(d.segment)
-      val base = bBase.value(d.segment)
-      IndexBuilder.BuildRow("doc", ns,
-        Some(d.copy(segment = ns, docId = d.docId + base)), None, None, None)
-    }.write.mode(SaveMode.Append).partitionBy("kind")
+    // 1) docs: one window pass assigns each merged segment's ids in
+    // precomputed-score order — row_number over (sortKey desc, repo,
+    // path, commit), the exact order IndexBuilder streams fresh ids in
+    // (the reference's doc_id_mapping). Doc rows rewrite narrowly from
+    // it; the same rows feed the posting shuffle as the permutation.
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("newSeg"))
+      .orderBy(col("sortKey").desc, col("repo"), col("path"), col("commit"))
+    val mappedDF = in.docs.filter(d => segFilter(d.segment)).toDF()
+      .withColumn("newSeg", (col("segment") / org.apache.spark.sql.functions.lit(fanIn)).cast("int"))
+      .withColumn("newId", (org.apache.spark.sql.functions.row_number().over(win) - 1).cast("int"))
+    mappedDF.select(
+        col("newSeg").as("segment"), col("newId").as("docId"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("sha256"),
+        col("numTokens"), col("fieldNormId"), col("sortKey"), col("simhash"))
+      .as[DocRow]
+      .map(d => IndexBuilder.BuildRow("doc", d.segment, Some(d), None, None, None))
+      .write.mode(SaveMode.Append).partitionBy("kind")
       .parquet(IndexBuilder.dataDir(outDir))
 
     // 2) fnorms + postings: one term-sorted shuffle per merged segment.
-    // fnorm rows sort by (field, oldSeg, chunk) via the term slot so
-    // per-field arrays concatenate correctly.
+    // Permutation rows (kindOrder -1) sort first, then fnorm rows by
+    // (field, oldSeg, chunk) via the term slot so per-field arrays
+    // concatenate correctly, then posting rows by term.
+    val mapRows = mappedDF
+      .select(col("newSeg"), col("segment"), col("docId"), col("newId"))
+      .as[(Int, Int, Int, Int)]
+      .map { case (ns, os, od, nid) =>
+        MergeRow(ns, -1, "", os, od, None, None, nid) }
     val fnRows = in.fnorms.filter(f => segFilter(f.segment)).map(f =>
       MergeRow(newSegOf(f.segment), 0,
         f"${f.chunk >> Fields.FnormFieldShift}%03d", f.segment, f.chunk,
@@ -91,7 +116,7 @@ object SegmentMerge {
       MergeRow(newSegOf(p.segment), 1, p.term, p.segment, p.shard, Some(p), None))
     val parts = math.max(spark.sparkContext.defaultParallelism,
       mergedStats.size)
-    val merged = fnRows.union(postRows)
+    val merged = mapRows.union(fnRows).union(postRows)
       .repartition(parts, col("segment"))
       .sortWithinPartitions(col("segment"), col("kindOrder"), col("term"),
         col("oldSeg"), col("shard"))
@@ -147,9 +172,18 @@ object SegmentMerge {
       val nDocs = nDocs64.toInt
       val avgFn = if (nDocs == 0) 1.0f else nTokens.toFloat / nDocs.toFloat
 
+      // permutation rows first (kindOrder -1): concatenated id
+      // (base(oldSeg) + oldDocId) -> score-ordered merged id
+      val remap = new Array[Int](nDocs)
+      while (buf.hasNext && buf.head.segment == seg && buf.head.kindOrder == -1) {
+        val r = buf.next()
+        remap(bases(r.oldSeg) + r.shard) = r.newId
+      }
+
       // fieldnorms: kindOrder 0 rows, sorted by (field, oldSeg, chunk);
-      // bases are ascending with oldSeg so per-field concatenation is
-      // the remap
+      // bases are ascending with oldSeg so per-field concatenation
+      // indexes by concatenated id — then each array permutes into
+      // score order
       val fnStreams = new java.util.TreeMap[Int, java.io.ByteArrayOutputStream]()
       while (buf.hasNext && buf.head.segment == seg && buf.head.kindOrder == 0) {
         val f = buf.next().fnorm.get
@@ -160,7 +194,13 @@ object SegmentMerge {
       }
       val fnArrs: Map[Int, Array[Byte]] = {
         val b = Map.newBuilder[Int, Array[Byte]]
-        fnStreams.forEach((k, v) => b += (k.toInt -> v.toByteArray))
+        fnStreams.forEach { (k, v) =>
+          val a = v.toByteArray
+          val out = new Array[Byte](a.length)
+          var g = 0
+          while (g < a.length) { out(remap(g)) = a(g); g += 1 }
+          b += (k.toInt -> out)
+        }
         b.result()
       }
       val fnArr = fnArrs(Fields.Content)
@@ -208,9 +248,9 @@ object SegmentMerge {
             if (ps != null) { anyPos = true; nPos += ps.length }
           }
           numTerms += 1
-          val allD = new Array[Int](df)
-          val allT = new Array[Int](df)
-          val allP = if (anyPos) new Array[Int](nPos) else null
+          var allD = new Array[Int](df)
+          var allT = new Array[Int](df)
+          var allP = if (anyPos) new Array[Int](nPos) else null
           var off = 0
           var pOff = 0
           var i = 0
@@ -223,6 +263,52 @@ object SegmentMerge {
             }
             off += docs.get(i).length
             i += 1
+          }
+          // global score re-sort (doc_id_mapping.rs:120-141): remap the
+          // concatenated ids to score-ordered merged ids and re-sort
+          // the list, positions riding with their doc (indirect sort on
+          // (newId << 32 | srcIdx) keys — allocation-light, stable)
+          locally {
+            var q = 0
+            while (q < df) { allD(q) = remap(allD(q)); q += 1 }
+            var isSorted = true
+            q = 1
+            while (isSorted && q < df) {
+              if (allD(q) < allD(q - 1)) isSorted = false
+              q += 1
+            }
+            if (!isSorted) {
+              val keys = new Array[Long](df)
+              q = 0
+              while (q < df) { keys(q) = (allD(q).toLong << 32) | q.toLong; q += 1 }
+              java.util.Arrays.sort(keys)
+              val d2 = new Array[Int](df)
+              val t2 = new Array[Int](df)
+              var p2: Array[Int] = null
+              var tfCumP: Array[Int] = null
+              if (anyPos) {
+                tfCumP = new Array[Int](df + 1)
+                var w = 0
+                while (w < df) { tfCumP(w + 1) = tfCumP(w) + allT(w); w += 1 }
+                p2 = new Array[Int](nPos)
+              }
+              var o = 0
+              q = 0
+              while (q < df) {
+                val src = (keys(q) & 0xffffffffL).toInt
+                d2(q) = (keys(q) >>> 32).toInt
+                t2(q) = allT(src)
+                if (anyPos) {
+                  var s0 = tfCumP(src)
+                  val s1 = tfCumP(src + 1)
+                  while (s0 < s1) { p2(o) = allP(s0); o += 1; s0 += 1 }
+                }
+                q += 1
+              }
+              allD = d2
+              allT = t2
+              if (anyPos) allP = p2
+            }
           }
           val field = Fields.fieldOf(term)
           val termAvg = if (field == Fields.Bigram) bigramAvg

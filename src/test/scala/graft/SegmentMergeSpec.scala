@@ -55,6 +55,39 @@ class SegmentMergeSpec extends AnyFunSuite {
     assert(merged.docs.map(d => (d.repo, d.path)).distinct().count() == 600)
   }
 
+  test("merged doc ids are globally score-sorted (docid-order invariant)") {
+    val out = tmpDir()
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 3, IndexBuilder.Config())
+    val merged = new InvertedIndex(spark, out)
+    merged.docs.collect().groupBy(_.segment).foreach { case (seg, ds) =>
+      val byId = ds.sortBy(_.docId).map(d => (d.repo, d.path)).toSeq
+      val byScore = ds.sortBy(d => (d.sortKey, d.repo, d.path, d.commit))(
+        Ordering.Tuple4(Ordering.Long.reverse, Ordering.String,
+          Ordering.String, Ordering.String)).map(d => (d.repo, d.path)).toSeq
+      assert(byId == byScore, s"merged seg $seg lost the docid-order invariant")
+    }
+  }
+
+  test("merge to one segment == fresh single-segment build (approx path)") {
+    val out = tmpDir()
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 6, IndexBuilder.Config())
+    val merged = new InvertedIndex(spark, out)
+    val freshDir = tmpDir()
+    IndexBuilder.build(spark, corpus, freshDir, IndexBuilder.Config(numSegments = 1))
+    val fresh = new InvertedIndex(spark, freshDir)
+    // identical score-ordered id assignment
+    assert(merged.docs.collect().map(d => (d.docId, d.repo, d.path)).sortBy(_._1).toSeq ==
+      fresh.docs.collect().map(d => (d.docId, d.repo, d.path)).sortBy(_._1).toSeq)
+    // ShortCircuit/searchApprox truncation now means the same "top
+    // static-rank prefix" on a merged index as on a fresh one
+    Seq("spark session", "the license", "data table row").foreach { q =>
+      val a = merged.searchApprox(q, 10, 200)
+      val b = fresh.searchApprox(q, 10, 200)
+      assert(a._1.toSeq == b._1.toSeq && a._2 == b._2 && a._3 == b._3,
+        s"approx mismatch on '$q'")
+    }
+  }
+
   test("merge 6 -> 3 segments") { checkMerged(2, IndexBuilder.Config()) }
   test("merge 6 -> 1 segment") { checkMerged(6, IndexBuilder.Config()) }
   test("merge with hot-term re-sharding") {
