@@ -15,16 +15,24 @@ package graft.core
   * against); they intentionally favor the documented mainline rules. */
 object Stemmers {
 
-  /** Language dispatch (ISO 639-1 codes and a few names). */
+  /** Language dispatch (ISO 639-1 codes and a few names). Unknown
+    * languages — including programming languages in a code corpus —
+    * fall back to Porter English so existing indexes stay
+    * byte-identical (golden-fixture invariant). */
   def forLanguage(lang: String): String => String =
     Option(lang).map(_.toLowerCase).getOrElse("") match {
-      case "de" | "german" | "deutsch"  => german
-      case "fr" | "french" | "francais" => french
-      case "es" | "spanish" | "espanol" => spanish
-      case _                            => PorterStemmer.stem
+      case "de" | "german" | "deutsch"       => german
+      case "fr" | "french" | "francais"      => french
+      case "es" | "spanish" | "espanol"      => spanish
+      case "ru" | "russian"                  => russian
+      case "pt" | "portuguese" | "portugues" => portuguese
+      case "it" | "italian" | "italiano"     => italian
+      case "nl" | "dutch" | "nederlands"     => dutch
+      case _                                 => PorterStemmer.stem
     }
 
-  val SupportedLanguages: Seq[String] = Seq("en", "de", "fr", "es")
+  val SupportedLanguages: Seq[String] =
+    Seq("en", "de", "fr", "es", "ru", "pt", "it", "nl")
 
   @inline private def isVowel(c: Char, vowels: String): Boolean =
     vowels.indexOf(c) >= 0
@@ -428,5 +436,501 @@ object Stemmers {
       if (w.endsWith("gu") && inRV(w.length - 1)) w = w.dropRight(1)
     }
     esDeaccent(w)
+  }
+
+  /** RV of the Spanish family (Spanish/Portuguese/Italian share the
+    * definition): consonant at position 1 -> after the next vowel; two
+    * leading vowels -> after the next consonant; else position 3. */
+  private def rvIberian(w: String, vowels: String): Int = {
+    if (w.length < 3) return w.length
+    val c2 = w.charAt(1)
+    if (!isVowel(c2, vowels)) {
+      var i = 2
+      while (i < w.length && !isVowel(w.charAt(i), vowels)) i += 1
+      return math.min(i + 1, w.length)
+    }
+    if (isVowel(w.charAt(0), vowels) && isVowel(c2, vowels)) {
+      var i = 2
+      while (i < w.length && isVowel(w.charAt(i), vowels)) i += 1
+      return math.min(i + 1, w.length)
+    }
+    math.min(3, w.length)
+  }
+
+  // ---------------------------------------------------------------- Russian
+
+  private val RuVowels = "аеиоуыэюя"
+
+  /** One suffix pattern of a Russian group: `keep` leading chars of the
+    * matched pattern survive (1 for the а/я-conditioned group, encoded
+    * into the pattern like the Snowball among does). */
+  private final case class RuSuf(pat: String, keep: Int)
+
+  private def ruGroup(plain: Seq[String], ayPrefixed: Seq[String]): Seq[RuSuf] =
+    (plain.map(RuSuf(_, 0)) ++
+      ayPrefixed.flatMap(s => Seq(RuSuf("а" + s, 1), RuSuf("я" + s, 1))))
+      .sortBy(-_.pat.length)
+
+  private val RuGerund = ruGroup(
+    Seq("ив", "ивши", "ившись", "ыв", "ывши", "ывшись"),
+    Seq("в", "вши", "вшись"))
+  private val RuReflexive = ruGroup(Seq("ся", "сь"), Nil)
+  private val RuAdjective = ruGroup(Seq("ее", "ие", "ые", "ое", "ими",
+    "ыми", "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "его", "ого",
+    "ему", "ому", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею"), Nil)
+  private val RuParticiple = ruGroup(
+    Seq("ивш", "ывш", "ующ"), Seq("ем", "нн", "вш", "ющ", "щ"))
+  private val RuVerb = ruGroup(
+    Seq("ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей",
+      "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят",
+      "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю"),
+    Seq("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+      "ет", "ют", "ны", "ть", "ешь", "нно"))
+  private val RuNoun = ruGroup(Seq("а", "ев", "ов", "ие", "ье", "е",
+    "иями", "ями", "ами", "еи", "ии", "и", "ией", "ей", "ой", "ий", "й",
+    "иям", "ям", "ием", "ем", "ам", "ом", "о", "у", "ах", "иях", "ях",
+    "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я"), Nil)
+
+  /** Snowball Russian (snowballstem.org/algorithms/russian/stemmer.html):
+    * perfective gerund | [reflexive] (adjectival | verb | noun), then
+    * trailing и, the derivational ость/ост in R2, and the superlative/
+    * double-н/soft-sign cleanup. All suffix tests run in RV. */
+  def russian(word0: String): String = {
+    if (word0 == null || word0.length < 2) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase.replace('ё', 'е')
+    val rv = {
+      var i = 0
+      while (i < w.length && !isVowel(w.charAt(i), RuVowels)) i += 1
+      math.min(i + 1, w.length)
+    }
+    val r1 = regionAfterVC(w, 0, RuVowels)
+    val r2 = regionAfterVC(w, r1, RuVowels)
+    @inline def inRV(pos: Int) = pos >= rv
+    @inline def inR2(pos: Int) = pos >= r2
+
+    def drop(group: Seq[RuSuf]): Boolean = {
+      for (s <- group) {
+        val p = w.length - s.pat.length
+        if (p >= 0 && w.endsWith(s.pat) && inRV(p)) {
+          w = w.substring(0, p + s.keep)
+          return true
+        }
+      }
+      false
+    }
+
+    // step 1
+    if (!drop(RuGerund)) {
+      drop(RuReflexive)
+      if (drop(RuAdjective)) drop(RuParticiple)
+      else if (!drop(RuVerb)) drop(RuNoun)
+    }
+    // step 2: trailing и
+    if (w.endsWith("и") && inRV(w.length - 1)) w = w.dropRight(1)
+    // step 3: derivational (R2)
+    var der = false
+    for (suf <- Seq("ость", "ост")
+         if !der && w.endsWith(suf) && inR2(w.length - suf.length)) {
+      w = w.dropRight(suf.length); der = true
+    }
+    // step 4: undouble н / superlative / soft sign
+    if (w.endsWith("нн") && inRV(w.length - 2)) w = w.dropRight(1)
+    else {
+      var sup = false
+      for (suf <- Seq("ейше", "ейш")
+           if !sup && w.endsWith(suf) && inRV(w.length - suf.length)) {
+        w = w.dropRight(suf.length); sup = true
+        if (w.endsWith("нн") && inRV(w.length - 2)) w = w.dropRight(1)
+      }
+      if (!sup && w.endsWith("ь") && inRV(w.length - 1)) w = w.dropRight(1)
+    }
+    w
+  }
+
+  // ------------------------------------------------------------- Portuguese
+
+  private val PtVowels = "aeiouáéíóúâêôãõ"
+
+  /** Snowball Portuguese (snowballstem.org/algorithms/portuguese/
+    * stemmer.html) — standard suffixes under R1/R2/RV, verb suffixes in
+    * RV, residual vowel + final e/é/ê cleanup, ç -> c. The nasal ã/õ
+    * are treated as plain vowels (the spec's a~/o~ digraph detour only
+    * shifts region boundaries on rare shapes). */
+  def portuguese(word0: String): String = {
+    if (word0 == null || word0.length < 2) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase
+    val rv = rvIberian(w, PtVowels)
+    val r1 = regionAfterVC(w, 0, PtVowels)
+    val r2 = regionAfterVC(w, r1, PtVowels)
+    @inline def inR1(pos: Int) = pos >= r1
+    @inline def inR2(pos: Int) = pos >= r2
+    @inline def inRV(pos: Int) = pos >= rv
+    var changed = false
+
+    // step 1: standard suffixes, longest match first
+    val del2 = Seq("amentos", "imentos", "amento", "imento", "adoras",
+      "adores", "adora", "ações", "ância", "antes", "ador", "ação",
+      "ezas", "icos", "icas", "ismos", "áveis", "íveis", "istas", "osos",
+      "osas", "ante", "eza", "ico", "ica", "ismo", "ável", "ível",
+      "ista", "oso", "osa").sortBy(-_.length)
+    var m = false
+    // amente/mente before the shorter generic table would mis-order:
+    // handle the replacement/compound rules in spec order
+    if (w.endsWith("amente") && inR1(w.length - 6)) {
+      w = w.dropRight(6); m = true; changed = true
+      if (w.endsWith("iv") && inR2(w.length - 2)) {
+        w = w.dropRight(2)
+        if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+      } else {
+        for (pre <- Seq("os", "ic", "ad")
+             if w.endsWith(pre) && inR2(w.length - 2)) w = w.dropRight(2)
+      }
+    }
+    if (!m && w.endsWith("mente") && inR2(w.length - 5)) {
+      w = w.dropRight(5); m = true; changed = true
+      for (pre <- Seq("ante", "avel", "ível")
+           if w.endsWith(pre) && inR2(w.length - 4)) w = w.dropRight(4)
+    }
+    if (!m) for (suf <- Seq("logias", "logia") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.substring(0, w.length - suf.length) + "log"; m = true; changed = true
+      }
+    }
+    if (!m) for (suf <- Seq("uções", "ução") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.substring(0, w.length - suf.length) + "u"; m = true; changed = true
+      }
+    }
+    if (!m) for (suf <- Seq("ências", "ência") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.substring(0, w.length - suf.length) + "ente"; m = true; changed = true
+      }
+    }
+    if (!m) for (suf <- Seq("idades", "idade") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.dropRight(suf.length); m = true; changed = true
+        for (pre <- Seq("abil", "ic", "iv")
+             if w.endsWith(pre) && inR2(w.length - pre.length))
+          w = w.dropRight(pre.length)
+      }
+    }
+    if (!m) for (suf <- Seq("ivas", "ivos", "iva", "ivo") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.dropRight(suf.length); m = true; changed = true
+        if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+      }
+    }
+    if (!m) for (suf <- Seq("iras", "ira") if !m) {
+      val p = w.length - suf.length
+      if (w.endsWith(suf) && inRV(p) && p > 0 && w.charAt(p - 1) == 'e') {
+        w = w.substring(0, p) + "ir"; m = true; changed = true
+      }
+    }
+    if (!m) for (suf <- del2 if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.dropRight(suf.length); m = true; changed = true
+      }
+    }
+
+    // step 2: verb suffixes in RV (only if step 1 changed nothing)
+    if (!changed) {
+      val verbs = Seq("aríamos", "eríamos", "iríamos", "ássemos",
+        "êssemos", "íssemos", "aríeis", "eríeis", "iríeis", "ásseis",
+        "ésseis", "ísseis", "áramos", "éramos", "íramos", "ávamos",
+        "aremos", "eremos", "iremos", "ariam", "eriam", "iriam",
+        "assem", "essem", "issem", "arão", "erão", "irão", "arias",
+        "erias", "irias", "ardes", "erdes", "irdes", "asses", "esses",
+        "isses", "astes", "estes", "istes", "áreis", "areis", "éreis",
+        "ereis", "íreis", "ireis", "áveis", "íamos", "armos", "ermos",
+        "irmos", "aria", "eria", "iria", "asse", "esse", "isse", "aste",
+        "este", "iste", "arei", "erei", "irei", "aram", "eram", "iram",
+        "avam", "arem", "erem", "irem", "ando", "endo", "indo", "adas",
+        "idas", "arás", "aras", "erás", "eras", "irás", "avas", "ares",
+        "eres", "ires", "íeis", "ados", "idos", "ámos", "amos", "emos",
+        "imos", "iras", "ada", "ida", "ará", "ara", "erá", "era", "irá",
+        "ava", "iam", "ado", "ido", "ias", "ais", "eis", "ira", "ia",
+        "ei", "am", "em", "ar", "er", "ir", "as", "es", "is", "eu",
+        "iu", "ou").sortBy(-_.length)
+      for (suf <- verbs if !m) {
+        if (w.endsWith(suf) && inRV(w.length - suf.length)) {
+          w = w.dropRight(suf.length); m = true; changed = true
+        }
+      }
+    }
+
+    // step 3 / step 4
+    if (changed) {
+      if (w.endsWith("i") && inRV(w.length - 1) &&
+        w.length >= 2 && w.charAt(w.length - 2) == 'c') w = w.dropRight(1)
+    } else {
+      for (suf <- Seq("os", "a", "i", "o", "á", "í", "ó")
+           if w.endsWith(suf) && inRV(w.length - suf.length))
+        w = w.dropRight(suf.length)
+    }
+    // step 5: final e/é/ê + gu/ci + cedilla
+    if ((w.endsWith("e") || w.endsWith("é") || w.endsWith("ê")) &&
+      inRV(w.length - 1)) {
+      w = w.dropRight(1)
+      if ((w.endsWith("gu") || w.endsWith("ci")) && inRV(w.length - 1))
+        w = w.dropRight(1)
+    }
+    if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    w
+  }
+
+  // ---------------------------------------------------------------- Italian
+
+  private val ItVowels = "aeiouàèìòù"
+
+  /** Snowball Italian (snowballstem.org/algorithms/italian/stemmer.html)
+    * — attached pronouns after gerund/infinitive endings, standard
+    * suffixes under R1/R2/RV, verb suffixes in RV, final-vowel and
+    * ch/gh cleanup. */
+  def italian(word0: String): String = {
+    if (word0 == null || word0.length < 2) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase
+      .replace('á', 'à').replace('é', 'è').replace('í', 'ì')
+      .replace('ó', 'ò').replace('ú', 'ù')
+    // protect i/u between vowels (and u after q) from counting as vowels
+    val cs = w.toCharArray
+    var i = 1
+    while (i < cs.length - 1) {
+      if ((cs(i) == 'i' || cs(i) == 'u') &&
+        isVowel(cs(i - 1), ItVowels) && isVowel(cs(i + 1), ItVowels))
+        cs(i) = (cs(i) - 32).toChar
+      if (cs(i) == 'u' && cs(i - 1) == 'q') cs(i) = 'U'
+      i += 1
+    }
+    w = new String(cs)
+    val rv = rvIberian(w, ItVowels)
+    val r1 = regionAfterVC(w, 0, ItVowels)
+    val r2 = regionAfterVC(w, r1, ItVowels)
+    @inline def inR1(pos: Int) = pos >= r1
+    @inline def inR2(pos: Int) = pos >= r2
+    @inline def inRV(pos: Int) = pos >= rv
+
+    // step 0: attached pronouns after -ando/-endo (delete) or
+    // -ar/-er/-ir (replace with e), all in RV
+    val pronouns = Seq("gliela", "gliele", "glieli", "glielo", "gliene",
+      "sene", "mela", "mele", "meli", "melo", "mene", "tela", "tele",
+      "teli", "telo", "tene", "cela", "cele", "celi", "celo", "cene",
+      "vela", "vele", "veli", "velo", "vene", "gli", "ci", "la", "le",
+      "li", "lo", "mi", "ne", "si", "ti", "vi").sortBy(-_.length)
+    var pm = false
+    for (p <- pronouns if !pm) {
+      if (w.endsWith(p)) {
+        val stem = w.dropRight(p.length)
+        if (Seq("ando", "endo").exists(g =>
+          stem.endsWith(g) && inRV(stem.length - g.length))) {
+          w = stem; pm = true
+        } else if (Seq("ar", "er", "ir").exists(g =>
+          stem.endsWith(g) && inRV(stem.length - g.length))) {
+          w = stem + "e"; pm = true
+        }
+      }
+    }
+
+    var changed = false
+    var m = false
+    // step 1: standard suffixes (spec order: the compound rules first)
+    if (w.endsWith("amente") && inR1(w.length - 6)) {
+      w = w.dropRight(6); m = true; changed = true
+      if (w.endsWith("iv") && inR2(w.length - 2)) {
+        w = w.dropRight(2)
+        if (w.endsWith("at") && inR2(w.length - 2)) w = w.dropRight(2)
+      } else {
+        for (pre <- Seq("os", "ic", "abil")
+             if w.endsWith(pre) && inR2(w.length - pre.length))
+          w = w.dropRight(pre.length)
+      }
+    }
+    if (!m) for (suf <- Seq("azione", "azioni", "atore", "atori") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.dropRight(suf.length); m = true; changed = true
+        if (w.endsWith("ic") && inR2(w.length - 2)) w = w.dropRight(2)
+      }
+    }
+    if (!m) for (suf <- Seq("logia", "logie") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.substring(0, w.length - suf.length) + "log"; m = true; changed = true
+      }
+    }
+    if (!m) for (suf <- Seq("uzione", "uzioni", "usione", "usioni") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.substring(0, w.length - suf.length) + "u"; m = true; changed = true
+      }
+    }
+    if (!m) for (suf <- Seq("enza", "enze") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.substring(0, w.length - suf.length) + "ente"; m = true; changed = true
+      }
+    }
+    if (!m) for (suf <- Seq("amento", "amenti", "imento", "imenti") if !m) {
+      if (w.endsWith(suf) && inRV(w.length - suf.length)) {
+        w = w.dropRight(suf.length); m = true; changed = true
+      }
+    }
+    if (!m && w.endsWith("ità") && inR2(w.length - 3)) {
+      w = w.dropRight(3); m = true; changed = true
+      for (pre <- Seq("abil", "ic", "iv")
+           if w.endsWith(pre) && inR2(w.length - pre.length))
+        w = w.dropRight(pre.length)
+    }
+    if (!m) for (suf <- Seq("ivo", "ivi", "iva", "ive") if !m) {
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.dropRight(suf.length); m = true; changed = true
+        if (w.endsWith("at") && inR2(w.length - 2)) {
+          w = w.dropRight(2)
+          if (w.endsWith("ic") && inR2(w.length - 2)) w = w.dropRight(2)
+        }
+      }
+    }
+    if (!m) {
+      val del2 = Seq("atrice", "atrici", "mente", "abile", "abili",
+        "ibile", "ibili", "anza", "anze", "iche", "ichi", "ismo",
+        "ismi", "ista", "iste", "isti", "ante", "anti", "ico", "ici",
+        "ica", "ice", "oso", "osi", "osa", "ose").sortBy(-_.length)
+      for (suf <- del2 if !m) {
+        if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+          w = w.dropRight(suf.length); m = true; changed = true
+        }
+      }
+    }
+
+    // step 2: verb suffixes in RV (only if step 1 changed nothing)
+    if (!changed) {
+      val verbs = Seq("erebbero", "irebbero", "assero", "assimo",
+        "eranno", "erebbe", "eremmo", "ereste", "eresti", "essero",
+        "iranno", "irebbe", "iremmo", "ireste", "iresti", "iscano",
+        "iscono", "issero", "arono", "avamo", "avano", "avate",
+        "eremo", "erete", "erono", "evamo", "evano", "evate", "iremo",
+        "irete", "irono", "ivamo", "ivano", "ivate", "ammo", "ando",
+        "asse", "assi", "emmo", "enda", "ende", "endi", "endo", "erai",
+        "erei", "iamo", "immo", "irai", "irei", "isca", "isce", "isci",
+        "isco", "ano", "are", "ata", "ate", "ati", "ato", "ava", "avi",
+        "avo", "erà", "ere", "erò", "ete", "eva", "evi", "evo", "irà",
+        "ire", "irò", "ita", "ite", "iti", "ito", "iva", "ivi", "ivo",
+        "ono", "uta", "ute", "uti", "uto", "ar", "ir").sortBy(-_.length)
+      var vm = false
+      for (suf <- verbs if !vm) {
+        if (w.endsWith(suf) && inRV(w.length - suf.length)) {
+          w = w.dropRight(suf.length); vm = true; changed = true
+        }
+      }
+    }
+
+    // step 3a: final vowel (and a preceding i), in RV
+    var v3 = false
+    for (suf <- Seq("a", "e", "i", "o", "à", "è", "ì", "ò")
+         if !v3 && w.endsWith(suf) && inRV(w.length - 1)) {
+      w = w.dropRight(1); v3 = true
+      if (w.endsWith("i") && inRV(w.length - 1)) w = w.dropRight(1)
+    }
+    // step 3b: ch/gh -> c/g in RV
+    if ((w.endsWith("ch") || w.endsWith("gh")) && inRV(w.length - 1))
+      w = w.dropRight(1)
+    w.replace('I', 'i').replace('U', 'u')
+  }
+
+  // ------------------------------------------------------------------ Dutch
+
+  private val NlVowels = "aeiouyè"
+
+  /** Snowball Dutch (snowballstem.org/algorithms/dutch/stemmer.html) —
+    * en/s plural endings with valid-ending guards and kk/dd/tt
+    * undoubling, the e/heid steps, derivational end/ing/lijk/baar, and
+    * the double-vowel undoubling. */
+  def dutch(word0: String): String = {
+    if (word0 == null || word0.length < 2) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase
+      .replace('ä', 'a').replace('ë', 'e').replace('ï', 'i')
+      .replace('ö', 'o').replace('ü', 'u')
+      .replace('á', 'a').replace('é', 'e').replace('í', 'i')
+      .replace('ó', 'o').replace('ú', 'u')
+    // protect: initial y, y after a vowel, i between vowels
+    val cs = w.toCharArray
+    if (cs.nonEmpty && cs(0) == 'y') cs(0) = 'Y'
+    var i = 1
+    while (i < cs.length) {
+      if (cs(i) == 'y' && isVowel(cs(i - 1), NlVowels)) cs(i) = 'Y'
+      if (i < cs.length - 1 && cs(i) == 'i' &&
+        isVowel(cs(i - 1), NlVowels) && isVowel(cs(i + 1), NlVowels))
+        cs(i) = 'I'
+      i += 1
+    }
+    w = new String(cs)
+    var r1 = regionAfterVC(w, 0, NlVowels)
+    if (r1 < 3) r1 = 3
+    val r2 = regionAfterVC(w, r1, NlVowels)
+    @inline def inR1(pos: Int) = pos >= r1
+    @inline def inR2(pos: Int) = pos >= r2
+    def undouble(): Unit =
+      if (w.endsWith("kk") || w.endsWith("dd") || w.endsWith("tt"))
+        w = w.dropRight(1)
+    def validEn(p: Int): Boolean =
+      p > 0 && !isVowel(w.charAt(p - 1), NlVowels) &&
+        !w.substring(0, p).endsWith("gem")
+    def validS(p: Int): Boolean =
+      p > 0 && !isVowel(w.charAt(p - 1), NlVowels) && w.charAt(p - 1) != 'j'
+
+    // step 1
+    if (w.endsWith("heden") && inR1(w.length - 5))
+      w = w.dropRight(5) + "heid"
+    else if (w.endsWith("ene") && inR1(w.length - 3) && validEn(w.length - 3)) {
+      w = w.dropRight(3); undouble()
+    } else if (w.endsWith("en") && inR1(w.length - 2) && validEn(w.length - 2)) {
+      w = w.dropRight(2); undouble()
+    } else if (w.endsWith("se") && inR1(w.length - 2) && validS(w.length - 2))
+      w = w.dropRight(2)
+    else if (w.endsWith("s") && inR1(w.length - 1) && validS(w.length - 1))
+      w = w.dropRight(1)
+
+    // step 2: final e after a non-vowel, in R1
+    var eRemoved = false
+    if (w.endsWith("e") && inR1(w.length - 1) && w.length >= 2 &&
+      !isVowel(w.charAt(w.length - 2), NlVowels)) {
+      w = w.dropRight(1); eRemoved = true; undouble()
+    }
+
+    // step 3a: heid (not after c), then en
+    if (w.endsWith("heid") && inR2(w.length - 4) &&
+      !(w.length >= 5 && w.charAt(w.length - 5) == 'c')) {
+      w = w.dropRight(4)
+      if (w.endsWith("en") && inR1(w.length - 2) && validEn(w.length - 2)) {
+        w = w.dropRight(2); undouble()
+      }
+    }
+    // step 3b: derivational
+    if ((w.endsWith("end") || w.endsWith("ing")) && inR2(w.length - 3)) {
+      w = w.dropRight(3)
+      if (w.endsWith("ig") && inR2(w.length - 2) &&
+        !(w.length >= 3 && w.charAt(w.length - 3) == 'e')) w = w.dropRight(2)
+      else undouble()
+    } else if (w.endsWith("ig") && inR2(w.length - 2) &&
+      !(w.length >= 3 && w.charAt(w.length - 3) == 'e')) {
+      w = w.dropRight(2)
+    } else if (w.endsWith("lijk") && inR2(w.length - 4)) {
+      w = w.dropRight(4)
+      if (w.endsWith("e") && inR1(w.length - 1) && w.length >= 2 &&
+        !isVowel(w.charAt(w.length - 2), NlVowels)) {
+        w = w.dropRight(1); undouble()
+      }
+    } else if (w.endsWith("baar") && inR2(w.length - 4)) {
+      w = w.dropRight(4)
+    } else if (w.endsWith("bar") && inR2(w.length - 3) && eRemoved) {
+      w = w.dropRight(3)
+    }
+
+    // step 4: undouble double vowel in C-VV-C
+    if (w.length >= 4) {
+      val d = w.charAt(w.length - 1)
+      val v1 = w.charAt(w.length - 2)
+      val v2 = w.charAt(w.length - 3)
+      val c = w.charAt(w.length - 4)
+      if (!isVowel(d, NlVowels) && d != 'I' && v1 == v2 &&
+        "aeou".indexOf(v1) >= 0 && !isVowel(c, NlVowels))
+        w = w.substring(0, w.length - 2) + d
+    }
+    w.replace('Y', 'y').replace('I', 'i')
   }
 }

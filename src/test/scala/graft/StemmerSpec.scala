@@ -43,6 +43,57 @@ class StemmerSpec extends AnyFunSuite {
     assert(spanish("casas") == spanish("casa"))
   }
 
+  test("russian: noun/adjective/verb conflation") {
+    import Stemmers.russian
+    assert(russian("книгами") == "книг")     // noun instrumental pl
+    assert(russian("книги") == russian("книга"))
+    assert(russian("столами") == "стол")
+    assert(russian("столы") == russian("стол"))
+    assert(russian("красивые") == russian("красивый")) // adjective
+    assert(russian("читала") == russian("читать"))     // verb forms
+    assert(russian("читают") == "чита")
+    assert(russian("слабости") == russian("слабость"))
+    assert(russian("быстрейший") == "быстр")            // superlative
+    assert(russian("ёлка") == russian("елка"))          // ё -> е
+    assert(russian("стол") != russian("книга"))
+  }
+
+  test("portuguese: plural/verb/derivational conflation") {
+    import Stemmers.portuguese
+    assert(portuguese("meninas") == "menin")
+    assert(portuguese("menina") == portuguese("meninos"))
+    assert(portuguese("livros") == portuguese("livro"))
+    assert(portuguese("cantando") == "cant")
+    assert(portuguese("cantar") == portuguese("cantou"))
+    assert(portuguese("nacionalidade") == "nacional")
+    assert(portuguese("rapidamente") == "rapid")
+    assert(portuguese("livro") != portuguese("menino"))
+  }
+
+  test("italian: plural/verb/derivational conflation") {
+    import Stemmers.italian
+    assert(italian("cantare") == "cant")
+    assert(italian("cantando") == italian("cantavano"))
+    assert(italian("ragazzi") == italian("ragazzo"))
+    assert(italian("ragazza") == italian("ragazze"))
+    assert(italian("nazionale") == italian("nazionali"))
+    assert(italian("felicità") == "felic")
+    assert(italian("abilità") == "abil")
+    assert(italian("ragazzo") != italian("canzone"))
+  }
+
+  test("dutch: plural/diminutive-free conflation + undoubling") {
+    import Stemmers.dutch
+    assert(dutch("katten") == "kat")        // kk/tt undouble
+    assert(dutch("katten") == dutch("kat"))
+    assert(dutch("boeken") == dutch("boek"))
+    assert(dutch("bomen") == dutch("boom")) // double-vowel undouble
+    assert(dutch("lopen") == "lop")
+    assert(dutch("mogelijkheden") == dutch("mogelijkheid"))
+    assert(dutch("vrijheden") == dutch("vrijheid")) // heden -> heid
+    assert(dutch("boek") != dutch("kat"))
+  }
+
   test("dispatch: language codes, names, fallback to English") {
     assert(Stemmers.forLanguage("de")("häuser") == "haus")
     assert(Stemmers.forLanguage("german")("häuser") == "haus")
@@ -58,7 +109,9 @@ class StemmerSpec extends AnyFunSuite {
 
   test("stemmers never panic and always shrink-or-keep") {
     val rnd = new scala.util.Random(17)
-    val fns = Seq(Stemmers.german _, Stemmers.french _, Stemmers.spanish _)
+    val fns = Seq(Stemmers.german _, Stemmers.french _, Stemmers.spanish _,
+      Stemmers.russian _, Stemmers.portuguese _, Stemmers.italian _,
+      Stemmers.dutch _)
     (0 until 2000).foreach { _ =>
       val s = rnd.nextString(rnd.nextInt(24))
       fns.foreach { f =>
@@ -67,7 +120,8 @@ class StemmerSpec extends AnyFunSuite {
       }
     }
     // real-ish tokens shrink or stay
-    Seq("häuser", "chanteraient", "corriendo", "straßenbahn").foreach { wrd =>
+    Seq("häuser", "chanteraient", "corriendo", "straßenbahn", "книгами",
+      "meninas", "cantavano", "mogelijkheden").foreach { wrd =>
       fns.foreach(f => assert(f(wrd).length <= wrd.length + 1))
     }
   }
