@@ -53,6 +53,23 @@ object SparkEntry {
       new InvertedIndex(s, out)
     })
 
+  // transient engine index over the events table (json shadow field)
+  private val jsonIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, InvertedIndex]()
+
+  private def eventsIndex(s: SparkSession, dir: String): InvertedIndex =
+    jsonIdxCache.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val ev = t(s, dir, "events").where(col("event_id") < 500)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .as[(Long, String, String)]
+        .map { case (id, et, props) => SourceDoc(id.toString, et, "", "en", et, props) }
+      val out = java.nio.file.Files.createTempDirectory("graftjsonidx").toString
+      IndexBuilder.build(s, ev, out,
+        IndexBuilder.Config(numSegments = 2, indexJson = true))
+      new InvertedIndex(s, out)
+    })
+
   private def hitsDF(s: SparkSession, hits: Array[graft.index.Hit]): DataFrame =
     s.createDataFrame(hits.map(h => (h.rank, h.repo.toLong, h.score.toDouble)).toSeq)
       .toDF("rank", "doc_id", "score")
@@ -427,6 +444,13 @@ object SparkEntry {
         .select(col("id"), col("simhash").cast("string").as("sig"))
         .orderBy("id")
     }),
+    "q_engine_json" -> ((s, d) => {
+      // JsonField as an ENGINE index field: flattened props leaves are
+      // searchable terms; `json:k=69` lowers to a must clause like the
+      // meta operators (reference text_field.rs:1197-1240)
+      val idx = eventsIndex(s, d)
+      canonicalHitsDF(s, idx.searchParsed("json:k=69", 50))
+    }),
     "q_json_tokens" -> ((s, d) => {
       // JsonField index tokens: flattened path.key="value" leaves
       import s.implicits._
@@ -451,15 +475,20 @@ object SparkEntry {
         .orderBy(col("total_score").desc, col("phrase")).limit(20)
     }),
     "q_snippets" -> ((s, d) => {
-      // distributed query-biased snippet generation (typed map face);
-      // the corpus has no sentence punctuation so the oracle reduces to
-      // the length-trim — passage selection/highlighting is gated by
-      // SnippetSpec
+      // distributed query-biased snippet generation (typed map face).
+      // The raw corpus has no sentence punctuation, so a deterministic
+      // punctuated face (8-token sentences) is synthesized identically
+      // on both sides — the oracle then replicates the FULL passage
+      // selection: per-passage BM25 with passage-level idf, distinct-
+      // term lengths, integer-divided average, first-max passage seed,
+      // the <225-chars append loop and the 325-char trim.
       import s.implicits._
       t(s, d, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
-          (id, graft.core.Snippets.generate("data table", text).unhighlightedString)
+          val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+          val punct = toks.grouped(8).map(_.mkString(" ")).mkString(". ") + "."
+          (id, graft.core.Snippets.generate("data table", punct).unhighlightedString)
         }
         .toDF("doc_id", "snippet").orderBy("doc_id")
     }),
@@ -851,6 +880,93 @@ object SparkEntry {
        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** q_engine_json: BM25 of the flattened-leaf identity term over the
+    * events index — every matching doc has tf 1 and the content field
+    * is the event_type, so the whole tokenize->build->bool path is
+    * exercised with an exactly replicable score. Matches (7 docs) stay
+    * under k, so membership is tie-free and ordering canonical. */
+  private def engineJsonOracleSql: String = {
+    val fnValues = graft.core.FieldNorm.Table.map(v => s"($v)").mkString(",")
+    s"""WITH ev AS (SELECT event_id AS doc_id,
+       |              len(list_filter(string_split(lower(event_type), ' '),
+       |                  x -> x <> '')) AS dl,
+       |              json_extract_string(props, '$$.k') AS kv
+       |            FROM events WHERE event_id < 500),
+       |st AS (SELECT (SELECT count(*) FROM ev) AS n,
+       |              CAST((SELECT sum(dl) FROM ev) AS REAL)
+       |                / CAST((SELECT count(*) FROM ev) AS REAL) AS avg),
+       |fnt AS (SELECT * FROM (VALUES $fnValues) t(v)),
+       |fnid AS (SELECT e.doc_id, max(f.v) AS fn
+       |         FROM ev e JOIN fnt f ON f.v <= e.dl GROUP BY 1),
+       |mt AS (SELECT doc_id FROM ev WHERE kv = '69'),
+       |dfq AS (SELECT count(*) AS df FROM mt),
+       |tot AS (SELECT m.doc_id,
+       |        ${bmScoreSql("1", "dfq.df", "fnid.fn", "st.avg")} AS score
+       |        FROM mt m JOIN fnid ON fnid.doc_id = m.doc_id, dfq, st)
+       |${rankedTopK(50)}""".stripMargin
+  }
+
+  /** q_snippets oracle: replicates Snippets.generate over the
+    * punctuated face — passages are the 8-token sentences (with their
+    * trailing dot, post the >20-char width filter, re-numbered), scored
+    * by the passage-level BM25 of snippet.rs:181-221 (idf over passage
+    * df, length = DISTINCT term count, average length integer-divided),
+    * seeded at the FIRST maximal passage, extended with following
+    * passages while under 225 chars, trimmed at 325. The stemmed
+    * fallback is output-identical here (the corpus vocabulary's stems
+    * are collision-free, so every count the scorer reads is unchanged). */
+  private def snippetsOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |  FROM documents WHERE doc_id < 200),
+       |ptxt AS (SELECT doc_id,
+       |         array_to_string(list_transform(range((len(tk)+7)//8),
+       |           i -> array_to_string(tk[(i*8+1):(i*8+8)], ' ')), '. ') || '.' AS full_text
+       |         FROM base),
+       |sents AS (SELECT doc_id, unnest(range((len(tk)+7)//8)) AS j, tk FROM base),
+       |raw AS (SELECT doc_id, j, tk[(j*8+1):(j*8+8)] AS sl FROM sents),
+       |pass AS (SELECT doc_id,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS INT) AS j2,
+       |         array_to_string(sl, ' ') || '.' AS ptext,
+       |         len(list_distinct(sl)) AS sz,
+       |         len(list_filter(sl, x -> x = 'data')) AS fd,
+       |         len(list_filter(sl, x -> x = 'table')) AS ft
+       |         FROM raw WHERE length(array_to_string(sl, ' ') || '.') > 20),
+       |stats AS (SELECT doc_id, count(*) AS p,
+       |          sum(CASE WHEN fd > 0 THEN 1 ELSE 0 END) AS nd,
+       |          sum(CASE WHEN ft > 0 THEN 1 ELSE 0 END) AS nt,
+       |          sum(sz) // count(*) AS avgsz
+       |          FROM pass GROUP BY 1),
+       |scored AS (SELECT pa.doc_id, pa.j2, pa.ptext,
+       |           ln((st.p - st.nd + 0.5)/(st.nd + 0.5) + 1.0)
+       |             * (pa.fd * 2.2)/(pa.fd + 1.2*(0.25 + 0.75*(pa.sz / CAST(st.avgsz AS DOUBLE))))
+       |           + ln((st.p - st.nt + 0.5)/(st.nt + 0.5) + 1.0)
+       |             * (pa.ft * 2.2)/(pa.ft + 1.2*(0.25 + 0.75*(pa.sz / CAST(st.avgsz AS DOUBLE)))) AS s
+       |           FROM pass pa JOIN stats st USING (doc_id)),
+       |best AS (SELECT doc_id, j2 AS bj, ptext AS btext FROM (
+       |           SELECT doc_id, j2, ptext,
+       |                  row_number() OVER (PARTITION BY doc_id
+       |                                     ORDER BY s DESC, j2) AS rk
+       |           FROM scored) WHERE rk = 1),
+       |tl AS (SELECT sc.doc_id, sc.j2, sc.ptext, b.bj, length(b.btext) AS blen,
+       |       length(b.btext) + sum(CASE WHEN sc.j2 > b.bj
+       |                                  THEN length(sc.ptext) + 1 ELSE 0 END)
+       |         OVER (PARTITION BY sc.doc_id ORDER BY sc.j2) AS cl
+       |       FROM scored sc JOIN best b USING (doc_id) WHERE sc.j2 >= b.bj),
+       |inc AS (SELECT doc_id, j2, ptext FROM (
+       |          SELECT doc_id, j2, ptext, bj, blen,
+       |                 lag(cl) OVER (PARTITION BY doc_id ORDER BY j2) AS prevcl
+       |          FROM tl)
+       |        WHERE j2 = bj OR (blen <= 325 AND prevcl < 225)),
+       |frag AS (SELECT doc_id,
+       |         substr(string_agg(ptext, ' ' ORDER BY j2), 1, 325) AS snippet
+       |         FROM inc GROUP BY 1)
+       |SELECT p.doc_id,
+       |       coalesce(f.snippet, substr(p.full_text, 1, 275)) AS snippet
+       |FROM ptxt p LEFT JOIN frag f USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
 
   /** Fixed two-term spell queries (query, and its token pair). */
   private val SpellQueries: Seq[(String, (String, String))] = Seq(
@@ -1249,12 +1365,11 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "q_multimodal_features" -> multimodalFeaturesOracleSql,
     "q_spell" -> spellOracleSql,
+    "q_engine_json" -> engineJsonOracleSql,
     "q_json_tokens" ->
       """SELECT event_id, 'k="' || json_extract_string(props, '$.k') || '"' AS token
         |FROM events WHERE event_id < 500 ORDER BY event_id, token""".stripMargin,
-    "q_snippets" ->
-      """SELECT doc_id, substr(text, 1, 325) AS snippet
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q_snippets" -> snippetsOracleSql,
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -54,7 +54,12 @@ object IndexBuilder {
       /** index repo/path/lang metadata as identity/tokenized shadow
         * fields so query-grammar operators (site:/repo:, inurl:/path:,
         * intitle:/file:, exacturl:, lang:) lower to index terms. */
-      indexMeta: Boolean = false)
+      indexMeta: Boolean = false,
+      /** index the flattened leaves of the optional `props` json column
+        * as searchable terms (reference text_field.rs:1197-1240), so
+        * `json:path=value` queries lower to must clauses like the meta
+        * operators. */
+      indexJson: Boolean = false)
 
   final case class BuildReport(numDocs: Long, numTokens: Long,
                                segmentsBuilt: Int, segmentsSkipped: Int,
@@ -68,7 +73,7 @@ object IndexBuilder {
   /** Public: Spark codegen needs accessor visibility on encoder types. */
   final case class Tagged(segment: Int, sortKey: Long, repo: String,
                           path: String, commit: String, lang: String,
-                          content: String)
+                          content: String, props: String = "")
 
   /** FNV-1a 64-bit — stable across Spark/JVM versions, unlike
     * Murmur3-based Spark `hash()` which is only stable per version. */
@@ -380,7 +385,7 @@ object IndexBuilder {
 
     val tagged = input.map { d =>
       Tagged(segmentOf(d.repo, d.path, S), sortKeyOf(d.repo, d.path, d.commit),
-        d.repo, d.path, d.commit, d.lang, d.content)
+        d.repo, d.path, d.commit, d.lang, d.content, d.props)
     }
 
     // batches are a STABLE grouping of all segments (independent of what
@@ -447,6 +452,7 @@ object IndexBuilder {
     val trigramF = cfg.indexTrigrams
     val simhashF = cfg.computeSimhash
     val metaF = cfg.indexMeta
+    val jsonF = cfg.indexJson
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
@@ -454,7 +460,7 @@ object IndexBuilder {
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
         new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF,
-          trigramF, simhashF, metaF)
+          trigramF, simhashF, metaF, jsonF)
       }
       .write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(stageOut)
@@ -476,7 +482,8 @@ object IndexBuilder {
                                      indexStemmed: Boolean, indexBigrams: Boolean,
                                      indexTrigrams: Boolean,
                                      computeSimhash: Boolean,
-                                     indexMeta: Boolean)
+                                     indexMeta: Boolean,
+                                     indexJson: Boolean = false)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
@@ -587,6 +594,12 @@ object IndexBuilder {
         val bToks = Tokenizers.default(base)
         pi = 0
         while (pi < bToks.length) { table.token(Fields.titleTerm(bToks(pi)), 0); pi += 1 }
+      }
+      if (indexJson && t.props.nonEmpty) {
+        // flattened json leaves as identity terms (positions at 0; not
+        // counted into content stats, like the meta fields)
+        Tokenizers.flattenJson(t.props)
+          .foreach(tok => table.token(Fields.jsonTerm(tok), 0))
       }
       table.endDoc(docId)
       val fnId = FieldNorm.fieldNormToId(nTok.toLong)

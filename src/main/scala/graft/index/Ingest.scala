@@ -19,10 +19,16 @@ object Ingest {
 
   final val Columns = Seq("repo", "path", "commit", "lang", "content")
 
-  /** Normalize any source DataFrame to the input contract. */
+  /** Normalize any source DataFrame to the input contract. The
+    * OPTIONAL `props` json column (Config.indexJson) is carried when
+    * present and defaulted empty otherwise — the required north-rule
+    * shape stays the five columns. */
   def normalize(df: DataFrame): Dataset[SourceDoc] = {
     import df.sparkSession.implicits._
-    df.select(Columns.map(col): _*).as[SourceDoc]
+    val withProps =
+      if (df.columns.contains("props")) df.select((Columns :+ "props").map(col): _*)
+      else df.select(Columns.map(col): _*).withColumn("props", lit(""))
+    withProps.as[SourceDoc]
   }
 
   /** Load from a path-addressed table (format "iceberg", "parquet",

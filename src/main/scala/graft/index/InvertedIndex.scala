@@ -304,6 +304,16 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     case "inurl" | "path"         => Some(Tokenizers.default(v).map(Fields.urlTerm).toSeq)
     case "intitle" | "file"       => Some(Tokenizers.default(v).map(Fields.titleTerm).toSeq)
     case "inbody"                 => Some(Tokenizers.default(v).toSeq)
+    case "json" | "props"         =>
+      // json:path=value (value optionally quoted) -> the flattened-leaf
+      // identity term `path="value"`; bare json:path matches null leaves
+      val eq = v.indexOf('=')
+      if (eq < 0) Some(Seq(Fields.jsonTerm(v)))
+      else {
+        val key = v.substring(0, eq)
+        val raw = v.substring(eq + 1).stripPrefix("\"").stripSuffix("\"")
+        Some(Seq(Fields.jsonTerm(s"""$key="$raw"""")))
+      }
     case _                        => None
   }
 

@@ -2,10 +2,14 @@ package graft.index
 
 import graft.core.PostingListData
 
-/** Input row — exactly the north-rule input shape
-  * (BASELINE.json input_hint): an Iceberg-style table of source code. */
+/** Input row — the north-rule input shape (BASELINE.json input_hint):
+  * an Iceberg-style table of source code. `props` is an OPTIONAL json
+  * metadata column (defaults empty, absent from the required shape);
+  * with Config.indexJson its flattened leaves index as searchable
+  * terms (reference text_field.rs:1197-1240). */
 final case class SourceDoc(repo: String, path: String, commit: String,
-                           lang: String, content: String)
+                           lang: String, content: String,
+                           props: String = "")
 
 /** Row-store entry: one per document, per segment, doc ids dense from 0
   * in precomputed-score order (the score-sorted-docids invariant,

@@ -48,6 +48,29 @@ class GrammarSpec extends AnyFunSuite {
     assert(hits.map(h => (h.repo, h.path)).toSet == want)
   }
 
+  test("json: lowers to flattened-leaf must terms") {
+    import spark.implicits._
+    val docs = Seq(
+      SourceDoc("r1", "a.md", "c", "en", "alpha text here",
+        """{"k": 5, "tags": {"env": "prod"}}"""),
+      SourceDoc("r2", "b.md", "c", "en", "beta text here",
+        """{"k": 7, "tags": {"env": "prod"}}"""),
+      SourceDoc("r3", "c.md", "c", "en", "gamma text here",
+        """{"k": 5, "tags": {"env": "dev"}}"""))
+    val dir = java.nio.file.Files.createTempDirectory("graftjs").toString
+    IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      IndexBuilder.Config(numSegments = 1, indexJson = true))
+    val idx = new InvertedIndex(spark, dir)
+    assert(idx.searchParsed("json:k=5", 10).map(_.repo).toSet == Set("r1", "r3"))
+    assert(idx.searchParsed("json:tags.env=prod", 10).map(_.repo).toSet == Set("r1", "r2"))
+    // quoted value form + combination with a scoring term
+    assert(idx.searchParsed("json:tags.env=\"dev\"", 10).map(_.repo).toSet == Set("r3"))
+    assert(idx.searchParsed("json:k=5 alpha", 10).head.repo == "r1")
+    // props alias
+    assert(idx.searchParsed("props:k=7", 10).map(_.repo).toSet == Set("r2"))
+    assert(idx.searchParsed("json:k=9", 10).isEmpty)
+  }
+
   test("intitle:/file: matches file-name tokens only") {
     val base = docs.head.path.substring(docs.head.path.lastIndexOf('/') + 1)
     val tok = Tokenizers.default(base).find(_.length > 2).get

@@ -76,7 +76,9 @@ class IndexPipelineSpec extends AnyFunSuite {
     corpus.toDF().write.parquet(p)
     val docs = Ingest.sourceDocs(spark, p, format = "parquet")
     assert(docs.count() == 800)
-    assert(docs.columns.toSeq == Ingest.Columns)
+    // required contract columns + the defaulted optional props column
+    assert(docs.columns.toSeq == Ingest.Columns :+ "props")
+    assert(docs.head().props == "")
     val (ok, bad, missing) = Ingest.fidelityReport(spark, docs, dir)
     assert(ok == 800 && bad == 0 && missing == 0)
     // a corrupted row is caught
