@@ -78,9 +78,7 @@ object SparkEntry {
     * (score desc, doc_id asc): the engine's own tie order is its
     * internal (segment, docId) DocAddress — meaningless outside the
     * index — while the DuckDB oracle can only order by doc_id. Scores
-    * and membership are untouched (the boundary tie-freeness at the
-    * driver SF is asserted by the oracle compare itself: a boundary tie
-    * would flip membership and fail the hash). */
+    * and membership are untouched. */
   private def canonicalHitsDF(s: SparkSession, hits: Array[graft.index.Hit]): DataFrame =
     s.createDataFrame(
       hits.map(h => (h.repo.toLong, h.score.toDouble))
@@ -89,10 +87,24 @@ object SparkEntry {
         .map { case ((id, sc), i) => (i + 1, id, sc) }.toSeq)
       .toDF("rank", "doc_id", "score")
 
+  /** Slack a fixed-k engine face needs for TIE-STABLE membership: the
+    * engine truncates an equal-score group at the heap boundary in
+    * DocAddress order (as the reference does), but the oracle's
+    * canonical cut keeps the doc_id-smallest of the group. Fetching
+    * k+slack and cutting AFTER the canonical re-sort makes the face
+    * deterministic whenever the boundary tie group is narrower than the
+    * slack (observed groups: <=4; sf0.1 phrase hit one of width 4). */
+  private def tieSlack(k: Int): Int = k + math.max(80, 4 * k)
+
+  private def canonicalTopK(s: SparkSession, k: Int)(
+      fetch: Int => Array[graft.index.Hit]): DataFrame =
+    canonicalHitsDF(s, fetch(tieSlack(k))
+      .sortBy(h => (-h.score, h.repo.toLong)).take(k))
+
   /** Flagship: transient index over `documents`, one WAND query. */
   private def indexWandTopK(s: SparkSession, dir: String): DataFrame = {
     val idx = docIndex(s, dir)
-    canonicalHitsDF(s, idx.search("table merge window group data", 20, "or"))
+    canonicalTopK(s, 20)(n => idx.search("table merge window group data", n, "or"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,7 +272,16 @@ object SparkEntry {
     "q_events_hourly" -> ((s, d) => {
       t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
+        // `value` is exact cents carried as double. A float avg +
+        // round(.,4) is unstable twice over (partial-agg sum order, and
+        // decimal-vs-binary rounding of exact .5 ties like 37.06625) —
+        // so round in EXACT integer arithmetic: e4 = half-up cents*100
+        // div cnt, then one exact small-int/1e4 division for display.
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("hour"), col("event_type"), col("cnt"),
+          (expr("(cents * 200 + cnt) div (2 * cnt)").cast("double") / 10000.0)
+            .as("avg_value"))
         .orderBy("hour", "event_type")
     }),
     "q_events_sessions" -> ((s, d) => {
@@ -347,19 +368,21 @@ object SparkEntry {
     "q_index_wand" -> ((s, d) => indexWandTopK(s, d)),
     "q_engine_phrase" -> ((s, d) => {
       val idx = docIndex(s, d)
-      canonicalHitsDF(s, idx.search("data table", 20, "phrase"))
+      canonicalTopK(s, 20)(n => idx.search("data table", n, "phrase"))
     }),
     "q_engine_expanded" -> ((s, d) => {
       // field expansion + compound bigrams (stemmed + ngram fields)
       val idx = docIndex(s, d)
-      canonicalHitsDF(s, idx.search("merging data tables", 20, "or+"))
+      canonicalTopK(s, 20)(n => idx.search("merging data tables", n, "or+"))
     }),
     "q_engine_prefix" -> ((s, d) => {
       // content-dictionary prefix expansion ("s" -> scan/slow/small/
       // sort/spark/stream) under one WAND
       val idx = docIndex(s, d)
-      val raw = idx.searchPrefix("s", 20)
-      canonicalHitsDF(s, idx.resolve(raw, raw.length))
+      canonicalTopK(s, 20) { n =>
+        val raw = idx.searchPrefix("s", n)
+        idx.resolve(raw, raw.length)
+      }
     }),
     "q_spell" -> ((s, d) => {
       // did-you-mean over the index term dictionary (stupid-backoff
@@ -407,8 +430,10 @@ object SparkEntry {
     "q_engine_bm25f" -> ((s, d) => {
       // shared-idf per-field weighted scoring over content+stemmed+bigram
       val idx = docIndex(s, d)
-      val raw = idx.searchBm25F("table merge window", 20)
-      canonicalHitsDF(s, idx.resolve(raw, raw.length))
+      canonicalTopK(s, 20) { n =>
+        val raw = idx.searchBm25F("table merge window", n)
+        idx.resolve(raw, raw.length)
+      }
     }),
     "q_engine_bool" -> ((s, d) => {
       // Must/Should/MustNot tree with RequiredOptionalScorer semantics
@@ -418,8 +443,10 @@ object SparkEntry {
         must = Seq(or(Term("table"), Term("data"))),
         should = Seq(Term("merge")),
         mustNot = Seq(and(Term("slow"), Term("batch"))))
-      val raw = idx.searchBool(factor(tree), 20)
-      canonicalHitsDF(s, idx.resolve(raw, raw.length))
+      canonicalTopK(s, 20) { n =>
+        val raw = idx.searchBool(factor(tree), n)
+        idx.resolve(raw, raw.length)
+      }
     }),
     "q_engine_dedup" -> ((s, d) => {
       // BucketCollector: site/url/title penalty dedup + simhash drain
@@ -449,7 +476,7 @@ object SparkEntry {
       // searchable terms; `json:k=69` lowers to a must clause like the
       // meta operators (reference text_field.rs:1197-1240)
       val idx = eventsIndex(s, d)
-      canonicalHitsDF(s, idx.searchParsed("json:k=69", 50))
+      canonicalTopK(s, 50)(n => idx.searchParsed("json:k=69", n))
     }),
     "q_json_tokens" -> ((s, d) => {
       // JsonField index tokens: flattened path.key="value" leaves
@@ -1239,7 +1266,9 @@ object SparkEntry {
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |       count(*) AS cnt, round(avg(value), 4) AS avg_value
+        |       count(*) AS cnt,
+        |       ((sum(CAST(round(value * 100) AS BIGINT)) * 200 + count(*))
+        |        // (2 * count(*))) / 10000.0 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_events_sessions" ->
       """WITH x AS (
