@@ -118,7 +118,7 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       val expanded = mode0.endsWith("+")
       val mode = if (expanded) mode0.dropRight(1) else mode0
       val terms: Seq[String] =
-        if (mode == "phrase") Tokenizers.default(q).take(32).toSeq
+        if (mode.startsWith("phrase")) Tokenizers.default(q).take(32).toSeq
         else if (expanded)
           Fields.expand(Tokenizers.default(q).take(16).toSeq,
             stemmed = true, bigrams = true, stem = queryStem)
@@ -182,15 +182,17 @@ final class InvertedIndex(spark: SparkSession, dir: String,
               }
               val topk = new TopK(k)
               mode match {
-                case "phrase" =>
+                case pm if pm.startsWith("phrase") =>
                   // every occurrence needs its own cursor; a term absent
-                  // from this segment means no phrase match here
+                  // from this segment means no phrase match here.
+                  // "phrase~N" = sloppy phrase with slop budget N
                   if (cs.length == terms.length) {
                     var wsum = 0.0f
                     terms.foreach(t => wsum += bWeights.value(t))
                     val pw = new Bm25Weight(wsum, avgFn)
                     Phrase.run(cs, pw, fnArrs(Fields.Content),
-                      (d, _, s) => if (!excluded(d)) topk.push(d, s))
+                      (d, _, s) => if (!excluded(d)) topk.push(d, s),
+                      slop = Phrase.slopOfMode(pm))
                   }
                 case "and" =>
                   BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
@@ -323,6 +325,17 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     val quotes = Set('"', '“', '”')
     if (trimmed.length >= 2 && quotes.contains(trimmed.head) && quotes.contains(trimmed.last))
       return (trimmed.substring(1, trimmed.length - 1), "phrase", Nil, Nil)
+    // "quoted phrase"~N -> sloppy phrase (reference PhraseQuery::set_slop;
+    // Lucene-style ~N suffix). Slop caps at 255 — see Phrase.phraseFreqSlop.
+    if (trimmed.length >= 4 && quotes.contains(trimmed.head)) {
+      val lastQ = trimmed.lastIndexWhere(quotes.contains)
+      if (lastQ > 0 && lastQ < trimmed.length - 1) {
+        val tail = trimmed.substring(lastQ + 1)
+        if (tail.length >= 2 && tail.charAt(0) == '~' && tail.drop(1).forall(_.isDigit))
+          return (trimmed.substring(1, lastQ),
+            "phrase~" + math.min(tail.drop(1).toLong, 255L), Nil, Nil)
+      }
+    }
     val parts = trimmed.split("\\s+").filter(_.nonEmpty)
     val neg = scala.collection.mutable.ArrayBuffer[String]()
     val ops = scala.collection.mutable.ArrayBuffer[String]()

@@ -57,7 +57,7 @@ final class Searcher(idx: InvertedIndex, maxCachedTerms: Int = 4096) {
     val expanded = mode.endsWith("+")
     val m = if (expanded) mode.dropRight(1) else mode
     val terms: Seq[String] =
-      if (m == "phrase") Tokenizers.default(query).take(32).toSeq
+      if (m.startsWith("phrase")) Tokenizers.default(query).take(32).toSeq
       else if (expanded) Fields.expand(Tokenizers.default(query).take(16).toSeq,
         stemmed = true, bigrams = true)
       else idx.queryTerms(query).toSeq
@@ -104,13 +104,14 @@ final class Searcher(idx: InvertedIndex, maxCachedTerms: Int = 4096) {
         }
         val topk = new TopK(k)
         m match {
-          case "phrase" =>
+          case pm if pm.startsWith("phrase") =>
             if (cs.length == terms.length) {
               var wsum = 0.0f
               terms.foreach(t => wsum += weights(t))
               val pw = new Bm25Weight(wsum, avgFn)
               Phrase.run(cs, pw, fnArrs(Fields.Content),
-                (d, _, s) => if (!excluded(d)) topk.push(d, s))
+                (d, _, s) => if (!excluded(d)) topk.push(d, s),
+                slop = Phrase.slopOfMode(pm))
             }
           case "and" =>
             BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))

@@ -107,6 +107,29 @@ class GrammarSpec extends AnyFunSuite {
     assert(hits.map(h => (h.repo, h.path)).toSet == want)
   }
 
+  test("\"...\"~N sloppy phrase: parse + engine set matches the slop kernel") {
+    val toks = Tokenizers.default(docs.head.content)
+    val i = toks.indices.find(i => i + 2 < toks.length &&
+      toks(i) != toks(i + 2) &&
+      toks(i).forall(_.isLetter) && toks(i + 2).forall(_.isLetter)).get
+    val (t1, t2) = (toks(i), toks(i + 2))
+    val q = "\"" + t1 + " " + t2 + "\"~2"
+    val (body, mode, _, _) = index.parseOps(q)
+    assert(body == s"$t1 $t2" && mode == "phrase~2")
+    val hits = index.searchParsed(q, 400)
+    val want = docs.filter { d =>
+      val dt = Tokenizers.default(d.content)
+      val p = Array(t1, t2).map(t =>
+        dt.zipWithIndex.collect { case (w, j) if w == t => j })
+      p.forall(_.nonEmpty) && graft.core.Phrase.phraseFreqSlop(p, 2) > 0
+    }.map(d => (d.repo, d.path)).toSet
+    assert(want.nonEmpty)
+    assert(hits.map(h => (h.repo, h.path)).toSet == want)
+    // exact-phrase matches are a subset of the sloppy set
+    val exact = index.searchParsed("\"" + t1 + " " + t2 + "\"", 400)
+    assert(exact.map(h => (h.repo, h.path)).toSet.subsetOf(want))
+  }
+
   test("plain queries and quoted phrases are unchanged by the op parser") {
     assert(index.parse("“data table”") == ("data table", "phrase", Nil))
     assert(index.parse("spark -batch") == ("spark", "or", Seq("batch")))
