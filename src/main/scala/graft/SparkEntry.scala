@@ -53,6 +53,24 @@ object SparkEntry {
       new InvertedIndex(s, out)
     })
 
+  // transient engine index with the key_phrases field stored (RAKE
+  // per doc at build time; TopKeyPhrases then never re-runs RAKE)
+  private val kpIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, InvertedIndex]()
+
+  private def keyPhraseIndex(s: SparkSession, dir: String): InvertedIndex =
+    kpIdxCache.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+        .select("doc_id", "source", "lang", "text")
+        .as[(Long, String, String, String)]
+        .map { case (id, src, lang, text) => SourceDoc(id.toString, src, "", lang, text) }
+      val out = java.nio.file.Files.createTempDirectory("graftkpidx").toString
+      IndexBuilder.build(s, docs, out,
+        IndexBuilder.Config(numSegments = 2, indexKeyPhrases = true))
+      new InvertedIndex(s, out)
+    })
+
   // transient engine index over the events table (json shadow field)
   private val jsonIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, InvertedIndex]()
@@ -486,6 +504,13 @@ object SparkEntry {
         .flatMap { case (id, j) =>
           graft.core.Tokenizers.flattenJson(j).map(tok => (id, tok)) }
         .toDF("event_id", "token").orderBy("event_id", "token")
+    }),
+    "q_engine_keyphrases" -> ((s, d) => {
+      // TopKeyPhrases generic query served from the STORED key_phrases
+      // term dictionary (no query-time RAKE) — per-segment top-n by
+      // doc_freq, df-sum merge across segments
+      import s.implicits._
+      keyPhraseIndex(s, d).topKeyPhrases(20).toDF("phrase", "score")
     }),
     "q_rake" -> ((s, d) => {
       // corpus-level top key phrases (live index TopKeyPhrases analog):

@@ -59,7 +59,12 @@ object IndexBuilder {
         * as searchable terms (reference text_field.rs:1197-1240), so
         * `json:path=value` queries lower to must clauses like the meta
         * operators. */
-      indexJson: Boolean = false)
+      indexJson: Boolean = false,
+      /** index each doc's RAKE keywords as whole-phrase terms of the
+        * key_phrases shadow field (reference text_field.rs:1650-1688
+        * newline-tokenizes webpage.keywords), so TopKeyPhrases serves
+        * from the stored term dictionary instead of re-running RAKE. */
+      indexKeyPhrases: Boolean = false)
 
   final case class BuildReport(numDocs: Long, numTokens: Long,
                                segmentsBuilt: Int, segmentsSkipped: Int,
@@ -453,6 +458,7 @@ object IndexBuilder {
     val simhashF = cfg.computeSimhash
     val metaF = cfg.indexMeta
     val jsonF = cfg.indexJson
+    val keyPhrasesF = cfg.indexKeyPhrases
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
@@ -460,7 +466,7 @@ object IndexBuilder {
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
         new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF,
-          trigramF, simhashF, metaF, jsonF)
+          trigramF, simhashF, metaF, jsonF, keyPhrasesF)
       }
       .write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(stageOut)
@@ -483,7 +489,8 @@ object IndexBuilder {
                                      indexTrigrams: Boolean,
                                      computeSimhash: Boolean,
                                      indexMeta: Boolean,
-                                     indexJson: Boolean = false)
+                                     indexJson: Boolean = false,
+                                     indexKeyPhrases: Boolean = false)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
@@ -600,6 +607,13 @@ object IndexBuilder {
         // counted into content stats, like the meta fields)
         Tokenizers.flattenJson(t.props)
           .foreach(tok => table.token(Fields.jsonTerm(tok), 0))
+      }
+      if (indexKeyPhrases) {
+        // per-doc RAKE keywords, each whole phrase ONE term (reference
+        // newline-tokenizes webpage.keywords into key_phrases); the
+        // dictionary walk scores by doc_freq, so tf/positions are moot
+        graft.core.Rake.keywords(t.content)
+          .foreach(k => table.token(Fields.keyPhraseTerm(k.text), 0))
       }
       table.endDoc(docId)
       val fnId = FieldNorm.fieldNormToId(nTok.toLong)

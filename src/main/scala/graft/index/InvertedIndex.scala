@@ -385,6 +385,40 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       .select($"term").distinct()
       .orderBy($"term").limit(cap).collect().map(_.getString(0)).toSeq
 
+  /** Corpus-level top key phrases served from the stored key_phrases
+    * term dictionary (reference generic_query/top_key_phrases.rs +
+    * collector/top_key_phrases.rs:124-170): per segment the top-n
+    * phrases by doc_freq after the reference's filters (non-alphabetic
+    * char ratio <= 0.25 — spaces count, so one-letter-word phrases
+    * drop; balanced parens; non-empty), then phrases merge across
+    * segments by SUMMING their scores, sorted and truncated to n. Tie
+    * order at both cuts is canonical (score desc, phrase asc); the
+    * reference's heap leaves ties unspecified. Requires an index built
+    * with Config.indexKeyPhrases.
+    *
+    * Scale: the prefix filter pushes to the sorted-term parquet row
+    * groups; the per-segment window partitions by segment; only
+    * n-per-segment rows reach the driver-side merge. */
+  def topKeyPhrases(n: Int): Seq[(String, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    val perSeg = postings.toDF()
+      .filter($"term".startsWith(Fields.KeyPhrasePrefix))
+      .groupBy($"segment", $"term").agg(sum($"docFreq").as("df"))
+      .withColumn("phrase", substring($"term", Fields.KeyPhrasePrefix.length + 1,
+        Int.MaxValue))
+      .filter(length(trim($"phrase")) > 0)
+      .filter(length(regexp_replace($"phrase", "\\p{L}", "")) <=
+        length($"phrase") * lit(0.25))
+      .filter(length(regexp_replace($"phrase", "[^(]", "")) ===
+        length(regexp_replace($"phrase", "[^)]", "")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"segment").orderBy($"df".desc, $"phrase")))
+      .filter($"rn" <= n)
+    perSeg.groupBy($"phrase").agg(sum($"df").cast("double").as("score"))
+      .orderBy($"score".desc, $"phrase").limit(n)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+  }
+
   /** Prefix query: OR-WAND over all terms starting with `prefix`
     * (reference PhrasePrefixQuery's term-expansion path). */
   def searchPrefix(prefix: String, k: Int, cap: Int = 64): Array[(Int, Int, Float)] = {
