@@ -885,6 +885,164 @@ object SparkEntry {
        |${rankedTopK(20)}""".stripMargin
   }
 
+  /** The engine's Map-iteration order over the 11-signal values map:
+    * Signals.linear folds coeff*value with double + in this order, so
+    * the oracle must replicate it exactly (double addition is not
+    * associative). Iteration order of an immutable HashMap depends only
+    * on the key set — building a map with the same keys reproduces it. */
+  private def signalsIterOrder: Seq[String] = {
+    import graft.core.Signals._
+    Map(Bm25F -> 0.0, Bm25Content -> 0.0, ContentCoverage -> 0.0,
+      Bm25Bigrams -> 0.0, Bm25Stemmed -> 0.0, IdfSumUrl -> 0.0,
+      IdfSumRepo -> 0.0, Centrality -> 0.0, CentralityRank -> 0.0,
+      UrlSlashes -> 0.0, UrlDigits -> 0.0).keys.toSeq
+  }
+
+  /** q_engine_signals "table merge window": full two-stage replication.
+    * (1) Recall: the field-expanded f32 WAND score per doc (content,
+    * stemmed, bigram — trigram terms have no index field and drop, like
+    * absent cursors), candidates = top-160 (k * segments * 4) by
+    * (score desc, seg, docid) — segment = fnv1a64(repo|path) mod 4 and
+    * docid = per-segment rank by (sortKey desc, repo, path), i.e. the
+    * engine's deterministic docid-assignment invariant, both
+    * SQL-replicated via the HUGEINT fnv fold. Per-segment TopK tie
+    * order is (score desc, doc asc), so the composed per-segment +
+    * coordinator cut equals one global cut in that order.
+    * (2) Signals per candidate: the five BM25 field groups as DOUBLE
+    * sums of exactly-f32 addends in cursor ord order, content coverage,
+    * sortKey centrality (exact: (u>>>11)/2^53), the rank/count
+    * transforms, and idf_sum_url/repo = 0 (the transient index stores
+    * no meta fields). Total = the linear model folded in the engine's
+    * Map-iteration order ([[signalsIterOrder]]). The face's f32 cast of
+    * the total absorbs cross-engine ln() last-ulp differences from the
+    * rank transform. */
+  private def engineSignalsOracleSql: String = {
+    import graft.core.Signals
+    def bmC(ord: Int, t: String): String =
+      s"""SELECT x.doc_id, $ord AS ord,
+         |       ${bmScoreSql("x.tf", dfText(t), "fnid.fn", "st.avg")} AS s
+         |FROM tfq x JOIN fnid ON fnid.doc_id = x.doc_id, st WHERE x.term = '$t'""".stripMargin
+    def bmS(ord: Int, sm: String): String =
+      s"""SELECT f.doc_id, $ord AS ord,
+         |       ${bmScoreSql("f.tf", s"(SELECT df FROM sdf WHERE stem = '$sm')",
+                              "fnid.fn", "st.avg")} AS s
+         |FROM stf f JOIN fnid ON fnid.doc_id = f.doc_id, st WHERE f.stem = '$sm'""".stripMargin
+    def bmB(ord: Int, bg: String): String =
+      s"""SELECT b.doc_id, $ord AS ord,
+         |       ${bmScoreSql("b.tf", s"(SELECT df FROM bdf WHERE bg = '$bg')",
+                              "fnid2.fn", "st.avg2")} AS s
+         |FROM btf b JOIN fnid2 ON fnid2.doc_id = b.doc_id, st WHERE b.bg = '$bg'""".stripMargin
+    def bmfC(ord: Int, t: String): String =
+      s"""SELECT x.doc_id, $ord AS ord,
+         |       ${bmfScoreSql("x.tf", "1.0::REAL", dfText(t), "fnid.fn", "st.avg")} AS s
+         |FROM tfq x JOIN fnid ON fnid.doc_id = x.doc_id, st WHERE x.term = '$t'""".stripMargin
+    def bmfS(ord: Int, sm: String): String =
+      s"""SELECT f.doc_id, $ord AS ord,
+         |       ${bmfScoreSql("f.tf", "0.5::REAL", dfText(sm), "fnid.fn", "st.avg")} AS s
+         |FROM stf f JOIN fnid ON fnid.doc_id = f.doc_id, st WHERE f.stem = '$sm'""".stripMargin
+    def bmfB(ord: Int, bg: String): String =
+      s"""SELECT b.doc_id, $ord AS ord,
+         |       ${bmfScoreSql("b.tf", "0.25::REAL", dfText(bg), "fnid2.fn", "st.avg2")} AS s
+         |FROM btf b JOIN fnid2 ON fnid2.doc_id = b.doc_id, st WHERE b.bg = '$bg'""".stripMargin
+    def dsum(filter: String): String =
+      s"""SELECT doc_id, list_reduce(list(CAST(s AS DOUBLE) ORDER BY ord),
+         |       (a, b) -> a + b) AS v FROM rsc WHERE $filter GROUP BY 1""".stripMargin
+    val sqlOf = Map(
+      Signals.Bm25F -> "v_bm25f", Signals.Bm25Content -> "v_bm25c",
+      Signals.ContentCoverage -> "v_cov", Signals.Bm25Bigrams -> "v_bm25bi",
+      Signals.Bm25Stemmed -> "v_bm25st",
+      Signals.IdfSumUrl -> "0.0", Signals.IdfSumRepo -> "0.0",
+      Signals.Centrality -> "v_cent", Signals.CentralityRank -> "v_crank",
+      Signals.UrlSlashes -> "v_slash", Signals.UrlDigits -> "v_dig")
+    val totalSql = signalsIterOrder
+      .map(k => s"(${Signals.DefaultCoefficients(k)} * ${sqlOf(k)})")
+      .mkString(" + ")
+    s"""$engineCtes,
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |        WHERE term IN ('table','merge','window') GROUP BY 1, 2),
+       |btf AS (SELECT doc_id, term || nxt AS bg, count(*) AS tf FROM adj
+       |        WHERE (term = 'table' AND nxt = 'merge')
+       |           OR (term = 'merge' AND nxt = 'window') GROUP BY 1, 2),
+       |bdf AS (SELECT bg, count(DISTINCT doc_id) AS df FROM btf GROUP BY 1),
+       |rsc AS (
+       |  ${bmC(1, "table")}
+       |  UNION ALL
+       |  ${bmC(2, "merge")}
+       |  UNION ALL
+       |  ${bmC(3, "window")}
+       |  UNION ALL
+       |  ${bmS(4, "tabl")}
+       |  UNION ALL
+       |  ${bmS(5, "merg")}
+       |  UNION ALL
+       |  ${bmS(6, "window")}
+       |  UNION ALL
+       |  ${bmB(7, "tablemerge")}
+       |  UNION ALL
+       |  ${bmB(8, "mergewindow")}),
+       |rec AS (SELECT doc_id, list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS rs
+       |        FROM rsc GROUP BY 1),
+       |dm AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS repo, source AS path
+       |       FROM documents),
+       |sk AS (SELECT doc_id, repo, path,
+       |         ${fnvSql("'score:' || repo || '/' || path || '@'")} AS usort,
+       |         ${signedSql(fnvSql("repo || '|' || path"))} AS segh
+       |       FROM dm),
+       |sk2 AS (SELECT doc_id, repo, path, usort, ${signedSql("usort")} AS sortkey,
+       |               CAST(((segh % 4) + 4) % 4 AS INT) AS seg FROM sk),
+       |did AS (SELECT doc_id, usort, path, seg,
+       |          CAST(row_number() OVER (PARTITION BY seg
+       |               ORDER BY sortkey DESC, repo, path) AS INT) - 1 AS docid
+       |        FROM sk2),
+       |cand AS (SELECT r.doc_id, d.seg, d.docid, d.usort, d.path
+       |         FROM rec r JOIN did d USING (doc_id)
+       |         ORDER BY r.rs DESC, d.seg, d.docid LIMIT 160),
+       |fsc AS (
+       |  ${bmfC(1, "table")}
+       |  UNION ALL
+       |  ${bmfC(2, "merge")}
+       |  UNION ALL
+       |  ${bmfC(3, "window")}
+       |  UNION ALL
+       |  ${bmfS(4, "tabl")}
+       |  UNION ALL
+       |  ${bmfS(5, "merg")}
+       |  UNION ALL
+       |  ${bmfS(6, "window")}
+       |  UNION ALL
+       |  ${bmfB(7, "tablemerge")}
+       |  UNION ALL
+       |  ${bmfB(8, "mergewindow")}),
+       |sgl AS (SELECT c.doc_id, c.seg, c.docid,
+       |  COALESCE(bf.v, 0.0) AS v_bm25f,
+       |  COALESCE(bc.v, 0.0) AS v_bm25c,
+       |  COALESCE(bc.m, 0) / 3.0 AS v_cov,
+       |  COALESCE(bb.v, 0.0) AS v_bm25bi,
+       |  COALESCE(bs.v, 0.0) AS v_bm25st,
+       |  CAST(c.usort // 2048::HUGEINT AS DOUBLE) / 9007199254740992.0 AS v_cent,
+       |  greatest(0.0, 10.0 - ln(1.0 + CAST(c.docid AS DOUBLE)) / ln(8.0)) AS v_crank,
+       |  1.0 / (CAST(length(c.path) - length(replace(c.path, '/', '')) AS DOUBLE)
+       |         + 1.0) AS v_slash,
+       |  1.0 / (CAST(length(regexp_replace(c.path, '[^0-9]', '', 'g')) AS DOUBLE)
+       |         + 1.0) AS v_dig
+       |  FROM cand c
+       |  LEFT JOIN (SELECT doc_id, list_reduce(list(CAST(s AS DOUBLE) ORDER BY ord),
+       |               (a, b) -> a + b) AS v FROM fsc GROUP BY 1) bf USING (doc_id)
+       |  LEFT JOIN (SELECT doc_id, list_reduce(list(CAST(s AS DOUBLE) ORDER BY ord),
+       |               (a, b) -> a + b) AS v, count(*) AS m
+       |             FROM rsc WHERE ord <= 3 GROUP BY 1) bc USING (doc_id)
+       |  LEFT JOIN (${dsum("ord BETWEEN 7 AND 8")}) bb USING (doc_id)
+       |  LEFT JOIN (${dsum("ord BETWEEN 4 AND 6")}) bs USING (doc_id)),
+       |tot2 AS (SELECT doc_id, seg, docid, v_bm25f, v_cent,
+       |                ($totalSql) AS total FROM sgl)
+       |SELECT CAST(row_number() OVER (ORDER BY total DESC, seg, docid) AS INT) AS rank,
+       |       doc_id,
+       |       round(CAST(CAST(total AS REAL) AS DOUBLE) * 10000) / 10000 AS total,
+       |       round(v_bm25f * 10000) / 10000 AS bm25f,
+       |       round(v_cent * 10000) / 10000 AS centrality
+       |FROM tot2 ORDER BY total DESC, seg, docid LIMIT 10""".stripMargin
+  }
+
   /** FNV-1a 64 of a string column, bit-exactly IndexBuilder.fnv1a64:
     * HUGEINT fold over UTF-16 code units with mod-2^64 wrapping (the
     * corpus is ASCII so code units == bytes == chars). */
@@ -1415,6 +1573,7 @@ object SparkEntry {
     "q_engine_prefix" -> enginePrefixOracleSql,
     "q_engine_expanded" -> engineExpandedOracleSql,
     "q_engine_bm25f" -> engineBm25fOracleSql,
+    "q_engine_signals" -> engineSignalsOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "q_multimodal_features" -> multimodalFeaturesOracleSql,
