@@ -142,13 +142,15 @@ object Bench {
         var done = false
         while (pair < pairs && !done) {
           val order = if (pair % 2 == 0) Seq(n, 4 * n) else Seq(4 * n, n)
-          // adaptive sizing: if the first pairs land in a noisy host
-          // phase, later pairs run at half size — the ratio is within-
-          // pair so the doc count cancels, and smaller pairs buy more
-          // phase samples from the remaining budget (halving starts at
-          // pair 2: round 2 showed the budget runs out before the host
-          // phase changes when three full-size pairs lead)
-          val docsThisPair = if (pair < 2) benchDocs else benchDocs / 2
+          // adaptive sizing: late pairs run at half size to squeeze more
+          // phase samples from what's left of the budget. Halving is a
+          // LAST resort, not the default: the build has a fixed per-run
+          // stage cost t0 that is identical at both levels, so measured
+          // eff = (t0 + W/N') / (4*t0 + W/N') — halving W doubles t0's
+          // share and mechanically DEPRESSES the ratio (r03 data: full
+          // pairs 0.793/0.801 vs half pairs 0.709-0.784 in one phase).
+          // ~5 full-size pairs fit the 420 s budget at 120k docs.
+          val docsThisPair = if (pair < 5) benchDocs else benchDocs / 2
           var rN = (0.0, 0.0)
           var r4N = (0.0, 0.0)
           order.foreach { cpus =>

@@ -28,11 +28,13 @@ object Stemmers {
       case "pt" | "portuguese" | "portugues" => portuguese
       case "it" | "italian" | "italiano"     => italian
       case "nl" | "dutch" | "nederlands"     => dutch
+      case "sv" | "swedish" | "svenska"      => swedish
+      case "da" | "danish" | "dansk"         => danish
       case _                                 => PorterStemmer.stem
     }
 
   val SupportedLanguages: Seq[String] =
-    Seq("en", "de", "fr", "es", "ru", "pt", "it", "nl")
+    Seq("en", "de", "fr", "es", "ru", "pt", "it", "nl", "sv", "da")
 
   @inline private def isVowel(c: Char, vowels: String): Boolean =
     vowels.indexOf(c) >= 0
@@ -932,5 +934,138 @@ object Stemmers {
         w = w.substring(0, w.length - 2) + d
     }
     w.replace('Y', 'y').replace('I', 'i')
+  }
+
+  // --------------------------------------------------------------- Swedish
+
+  private val SvVowels = "aeiouyäåö"
+
+  // step-1 endings sorted longest-first (Snowball among = longest match
+  // that lies entirely within R1)
+  private val SvStep1 = Seq(
+    "heterna",
+    "hetens",
+    "anden", "heten", "heter", "arnas", "ernas", "ornas", "ades", "andes",
+    "arens", "andet",
+    "arna", "erna", "orna", "ande", "arne", "aste", "aren", "erns",
+    "ade", "are", "ern", "ens", "het", "ast",
+    "ad", "en", "ar", "er", "or", "as", "es", "at",
+    "a", "e")
+
+  /** Snowball Swedish (snowballstem.org/algorithms/swedish/stemmer.html). */
+  def swedish(word0: String): String = {
+    if (word0 == null || word0.length < 2) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase
+    var r1 = regionAfterVC(w, 0, SvVowels)
+    if (r1 < 3) r1 = 3
+    @inline def inR1(pos: Int) = pos >= r1
+
+    // step 1: longest list ending in R1 -> delete; else bare s after a
+    // valid s-ending (preceding char may lie before R1)
+    var matched: String = null
+    val it1 = SvStep1.iterator
+    while (matched == null && it1.hasNext) {
+      val suf = it1.next()
+      if (w.endsWith(suf) && inR1(w.length - suf.length)) matched = suf
+    }
+    if (matched != null) w = w.dropRight(matched.length)
+    else if (w.endsWith("s") && inR1(w.length - 1) && w.length >= 2 &&
+      "bcdfghjklmnoprtvy".indexOf(w.charAt(w.length - 2)) >= 0)
+      w = w.dropRight(1)
+
+    // step 2: consonant-pair endings in R1 lose their last letter
+    val it2 = Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt").iterator
+    var did2 = false
+    while (!did2 && it2.hasNext) {
+      val suf = it2.next()
+      if (w.endsWith(suf) && inR1(w.length - 2)) { w = w.dropRight(1); did2 = true }
+    }
+
+    // step 3 (longest in R1): fullt->full, löst->lös; lig/els/ig delete
+    if (w.endsWith("fullt") && inR1(w.length - 5)) w = w.dropRight(1)
+    else if (w.endsWith("löst") && inR1(w.length - 4)) w = w.dropRight(1)
+    else {
+      val it3 = Seq("lig", "els", "ig").iterator
+      var did3 = false
+      while (!did3 && it3.hasNext) {
+        val suf = it3.next()
+        if (w.endsWith(suf) && inR1(w.length - suf.length)) {
+          w = w.dropRight(suf.length); did3 = true
+        }
+      }
+    }
+    w
+  }
+
+  // ---------------------------------------------------------------- Danish
+
+  private val DaVowels = "aeiouyæåø"
+
+  private val DaStep1 = Seq(
+    "erendes",
+    "erende", "hedens",
+    "ethed", "erede", "heden", "heder", "endes", "ernes", "erens", "erets",
+    "ered", "ende", "erne", "eren", "erer", "heds", "enes", "eres", "eret",
+    "hed", "ene", "ere", "ens", "ers", "ets",
+    "en", "er", "es", "et",
+    "e")
+
+  /** Snowball Danish (snowballstem.org/algorithms/danish/stemmer.html). */
+  def danish(word0: String): String = {
+    if (word0 == null || word0.length < 2) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase
+    var r1 = regionAfterVC(w, 0, DaVowels)
+    if (r1 < 3) r1 = 3
+    @inline def inR1(pos: Int) = pos >= r1
+
+    // step 2 is re-entered from step 3, so it is a local function here
+    def step2(): Unit = {
+      val it = Seq("gd", "dt", "gt", "kt").iterator
+      var did = false
+      while (!did && it.hasNext) {
+        val suf = it.next()
+        if (w.endsWith(suf) && inR1(w.length - 2)) { w = w.dropRight(1); did = true }
+      }
+    }
+
+    // step 1: longest list ending in R1 -> delete; else bare s after a
+    // valid s-ending
+    var matched: String = null
+    val it1 = DaStep1.iterator
+    while (matched == null && it1.hasNext) {
+      val suf = it1.next()
+      if (w.endsWith(suf) && inR1(w.length - suf.length)) matched = suf
+    }
+    if (matched != null) w = w.dropRight(matched.length)
+    else if (w.endsWith("s") && inR1(w.length - 1) && w.length >= 2 &&
+      "abcdfghjklmnoprtvyzå".indexOf(w.charAt(w.length - 2)) >= 0)
+      w = w.dropRight(1)
+
+    step2()
+
+    // step 3: first igst -> drop st (whole-word test); then longest of
+    // løst->løs / elig,lig,els,ig delete (delete re-runs step 2)
+    if (w.endsWith("igst")) w = w.dropRight(2)
+    if (w.endsWith("løst") && inR1(w.length - 4)) w = w.dropRight(1)
+    else {
+      val it3 = Seq("elig", "lig", "els", "ig").iterator
+      var did3 = false
+      while (!did3 && it3.hasNext) {
+        val suf = it3.next()
+        if (w.endsWith(suf) && inR1(w.length - suf.length)) {
+          w = w.dropRight(suf.length); did3 = true
+        }
+      }
+      if (did3) step2()
+    }
+
+    // step 4 (undouble): final double consonant with the last letter in
+    // R1 loses the last letter
+    if (w.length >= 2 && inR1(w.length - 1)) {
+      val last = w.charAt(w.length - 1)
+      if (last == w.charAt(w.length - 2) && !isVowel(last, DaVowels))
+        w = w.dropRight(1)
+    }
+    w
   }
 }

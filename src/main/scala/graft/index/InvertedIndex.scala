@@ -385,6 +385,32 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       .select($"term").distinct()
       .orderBy($"term").limit(cap).collect().map(_.getString(0)).toSeq
 
+  /** GetSiteUrls analog (reference generic_query/get_site_urls.rs: a
+    * SiteNoTokenizer TermQuery + TopDocs with limit/offset): every doc
+    * of a repo in index order — docids are assigned in descending
+    * static-rank order, so this lists the repo's paths best-first.
+    * Spark-first note: the reference needs an identity index term
+    * because tantivy cannot scan its doc store by attribute; the doc
+    * table here is columnar parquet, so the repo filter pushes straight
+    * into the scan and no index field is needed. */
+  def siteUrls(repo: String, limit: Int, offset: Int = 0): Seq[String] =
+    docs.filter($"repo" === repo)
+      .orderBy($"segment", $"docId")
+      .select($"path")
+      .limit(offset + limit)
+      .collect().iterator.map(_.getString(0)).drop(offset).take(limit).toSeq
+
+  /** GetHomepage analog (reference generic_query/get_homepage.rs: the
+    * SiteIfHomepageNoTokenizer term matches only the site's homepage
+    * doc, FirstDocCollector takes the first). The code-corpus analog of
+    * "homepage" is the repo's shallowest path; ties resolve in index
+    * (static-rank) order like the reference's first-doc semantics. */
+  def homepage(repo: String): Option[DocRow] =
+    docs.filter($"repo" === repo)
+      .orderBy(length(regexp_replace($"path", "[^/]", "")), $"segment", $"docId")
+      .limit(1)
+      .collect().headOption
+
   /** Corpus-level top key phrases served from the stored key_phrases
     * term dictionary (reference generic_query/top_key_phrases.rs +
     * collector/top_key_phrases.rs:124-170): per segment the top-n

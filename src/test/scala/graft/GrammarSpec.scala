@@ -130,6 +130,23 @@ class GrammarSpec extends AnyFunSuite {
     assert(exact.map(h => (h.repo, h.path)).toSet.subsetOf(want))
   }
 
+  test("siteUrls/homepage generic queries list a repo best-first") {
+    val repo = docs.head.repo
+    val want = index.docs.filter(d => d.repo == repo)
+      .orderBy("segment", "docId").collect().map(_.path).toSeq
+    assert(want.nonEmpty)
+    assert(index.siteUrls(repo, 1000) == want)
+    // pagination slices the same order
+    if (want.length >= 2)
+      assert(index.siteUrls(repo, 1, offset = 1) == Seq(want(1)))
+    val hp = index.homepage(repo)
+    assert(hp.isDefined && hp.get.repo == repo)
+    // the homepage is a shallowest path of the repo
+    val minDepth = want.map(_.count(_ == '/')).min
+    assert(hp.get.path.count(_ == '/') == minDepth)
+    assert(index.homepage("no-such-repo-zz").isEmpty)
+  }
+
   test("plain queries and quoted phrases are unchanged by the op parser") {
     assert(index.parse("“data table”") == ("data table", "phrase", Nil))
     assert(index.parse("spark -batch") == ("spark", "or", Seq("batch")))

@@ -111,7 +111,7 @@ class StemmerSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(17)
     val fns = Seq(Stemmers.german _, Stemmers.french _, Stemmers.spanish _,
       Stemmers.russian _, Stemmers.portuguese _, Stemmers.italian _,
-      Stemmers.dutch _)
+      Stemmers.dutch _, Stemmers.swedish _, Stemmers.danish _)
     (0 until 2000).foreach { _ =>
       val s = rnd.nextString(rnd.nextInt(24))
       fns.foreach { f =>
@@ -124,6 +124,30 @@ class StemmerSpec extends AnyFunSuite {
       "meninas", "cantavano", "mogelijkheden").foreach { wrd =>
       fns.foreach(f => assert(f(wrd).length <= wrd.length + 1))
     }
+  }
+
+  test("swedish: plural/definite conflation") {
+    import Stemmers.swedish
+    assert(swedish("klockorna") == "klock")      // def. plural -orna
+    assert(swedish("jaktkarlarne") == "jaktkarl") // archaic def. pl. -arne
+    assert(swedish("väninnor") == "vänin")       // -or, then nn undouble
+    assert(swedish("stackars") == "stackar")     // s after valid s-ending
+    assert(swedish("betydelse") == "betyd")      // -e then -els
+    assert(swedish("verkligt") == "verk")        // gt -> g, then -lig
+    assert(swedish("underfullt") == "underfull") // -fullt keeps full
+    assert(swedish("klockorna") == swedish("klockor"))
+    assert(swedish("klocka") != swedish("bok"))
+  }
+
+  test("danish: plural/definite conflation with undouble") {
+    import Stemmers.danish
+    assert(danish("indtagelse") == "indtag")     // -e then -els
+    assert(danish("undersøgelse") == "undersøg")
+    assert(danish("hallen") == "hal")            // -en then ll undouble
+    assert(danish("vigtigst") == "vigt")         // igst -> ig -> delete
+    assert(danish("åbnes") == danish("åbnet"))   // -es / -et conflate
+    assert(danish("hedens") == "hed")            // -ens inside R1
+    assert(danish("huset") != danish("musene"))
   }
 
   test("index integration: German docs recall inflected forms via de query stemming") {
