@@ -514,16 +514,20 @@ object SparkEntry {
     }),
     "q_rake" -> ((s, d) => {
       // corpus-level top key phrases (live index TopKeyPhrases analog):
-      // per-doc RAKE keywords aggregated by phrase
+      // per-doc RAKE keywords aggregated by phrase. The cross-doc score
+      // sum folds in doc_id order (partial-agg order is engine-
+      // dependent; a sorted fold is bit-deterministic) and is emitted
+      // UNROUNDED — the oracle replicates the doubles exactly.
       import s.implicits._
       t(s, d, "documents").where(col("doc_id") < 500)
-        .select(col("text")).as[String]
-        .flatMap(txt => graft.core.Rake.keywords(txt).take(5)
-          .map(k => (k.text, k.score)))
-        .toDF("phrase", "score")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, txt) => graft.core.Rake.keywords(txt).take(5)
+          .map(k => (id, k.text, k.score)) }
+        .toDF("doc_id", "phrase", "score")
         .groupBy("phrase")
         .agg(count(lit(1)).as("docs"),
-          round(sum("score"), 4).as("total_score"))
+          aggregate(sort_array(collect_list(struct(col("doc_id"), col("score")))),
+            lit(0.0), (acc, x) => acc + x.getField("score")).as("total_score"))
         .orderBy(col("total_score").desc, col("phrase")).limit(20)
     }),
     "q_snippets" -> ((s, d) => {
@@ -1042,6 +1046,125 @@ object SparkEntry {
        |       round(v_cent * 10000) / 10000 AS centrality
        |FROM tot2 ORDER BY total DESC, seg, docid LIMIT 10""".stripMargin
   }
+
+  /** Full RAKE replication (core.Rake.keywords) as DuckDB CTEs over
+    * `documents WHERE $filter`. Emits `kw(doc_id, phrase, score, rn2)`
+    * — the per-doc keyword list after the top-(distinctWords/3) cut,
+    * rn2 = canonical (score desc, phrase) rank. Every arithmetic step
+    * is exactly replicable: freq/degree are integer counts, the word
+    * scores are single double divisions, the phrase score folds
+    * degree/freq in word order from 0.0 (Scala .sum) then divides by
+    * length, and all cuts tie-break on (score desc, phrase). The SMMRY
+    * top-16 sentence cut replicates Scala's STABLE sort via
+    * (wsum desc, sentence index). */
+  private def rakeCtes(filter: String): String = {
+    val stop = graft.core.Rake.DefaultStopwords.toSeq.sorted
+      .map(w => s"('$w')").mkString(",")
+    s"""WITH stw AS (SELECT * FROM (VALUES $stop) s(w)),
+       |doc AS (SELECT doc_id, lower(text) AS t FROM documents WHERE $filter),
+       |sent0 AS (SELECT doc_id,
+       |            unnest(regexp_split_to_array(t, '[,.!?\\n\\r\\t…‥․]')) AS s,
+       |            generate_subscripts(
+       |              regexp_split_to_array(t, '[,.!?\\n\\r\\t…‥․]'), 1) AS si
+       |          FROM doc),
+       |sentw AS (SELECT doc_id, si,
+       |            list_filter(string_split(s, ' '), x -> x <> '') AS ws
+       |          FROM sent0 WHERE s <> ''
+       |            AND len(list_filter(string_split(s, ' '), x -> x <> '')) > 0),
+       |wrd AS (SELECT doc_id, si, unnest(ws) AS w,
+       |               generate_subscripts(ws, 1) AS wi FROM sentw),
+       |wf AS (SELECT doc_id, w, count(*) AS f FROM wrd
+       |       WHERE w NOT IN (SELECT w FROM stw) GROUP BY 1, 2),
+       |ssum AS (SELECT r.doc_id, r.si, sum(COALESCE(wf.f, 0)) AS wsum
+       |         FROM wrd r LEFT JOIN wf ON wf.doc_id = r.doc_id AND wf.w = r.w
+       |         GROUP BY 1, 2),
+       |top16 AS (SELECT doc_id, si FROM (
+       |            SELECT s.doc_id, s.si,
+       |              row_number() OVER (PARTITION BY s.doc_id
+       |                ORDER BY u.wsum DESC, s.si) AS rn
+       |            FROM sentw s JOIN ssum u
+       |              ON u.doc_id = s.doc_id AND u.si = s.si)
+       |          WHERE rn <= 16),
+       |tw AS (SELECT r.doc_id, r.si, r.w, r.wi FROM wrd r
+       |       JOIN top16 u ON u.doc_id = r.doc_id AND u.si = r.si
+       |       WHERE r.w NOT IN (SELECT w FROM stw)),
+       |runs AS (SELECT doc_id, si, w, wi,
+       |           wi - row_number() OVER (PARTITION BY doc_id, si
+       |                                   ORDER BY wi) AS grp
+       |         FROM tw),
+       |ph AS (SELECT doc_id, si, grp,
+       |         string_agg(w, ' ' ORDER BY wi) AS phrase,
+       |         list(w ORDER BY wi) AS pwords,
+       |         count(*) AS plen
+       |       FROM runs GROUP BY 1, 2, 3
+       |       HAVING count(*) BETWEEN 2 AND 5),
+       |pw AS (SELECT doc_id, unnest(pwords) AS w, plen FROM ph),
+       |dfq2 AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS fr,
+       |                CAST(sum(plen - 1) AS DOUBLE) AS dg
+       |         FROM pw GROUP BY 1, 2),
+       |dph AS (SELECT DISTINCT doc_id, phrase, pwords, plen FROM ph),
+       |pws0 AS (SELECT doc_id, phrase, plen, unnest(pwords) AS w,
+       |                generate_subscripts(pwords, 1) AS wi2 FROM dph),
+       |pws AS (SELECT p.doc_id, p.phrase, p.plen, p.wi2, f.dg / f.fr AS wscore
+       |        FROM pws0 p JOIN dfq2 f ON f.doc_id = p.doc_id AND f.w = p.w),
+       |psc AS (SELECT doc_id, phrase,
+       |          list_reduce(list_prepend(0.0, list(wscore ORDER BY wi2)),
+       |            (a, b) -> a + b) / plen AS score
+       |        FROM pws GROUP BY doc_id, phrase, plen),
+       |dwc AS (SELECT doc_id, count(*) AS nw FROM dfq2 GROUP BY 1),
+       |kw0 AS (SELECT p.doc_id, p.phrase, p.score,
+       |          row_number() OVER (PARTITION BY p.doc_id
+       |            ORDER BY p.score DESC, p.phrase) AS krn,
+       |          d.nw // 3 AS takec
+       |        FROM psc p JOIN dwc d ON d.doc_id = p.doc_id),
+       |kw AS (SELECT doc_id, phrase, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, phrase) AS rn2
+       |       FROM kw0
+       |       WHERE krn <= takec AND length(phrase) > 1 AND score > 0)""".stripMargin
+  }
+
+  /** q_rake: per-doc top-5 keywords aggregated by phrase; cross-doc
+    * score sum folded in doc_id order from 0.0, matching the face's
+    * sorted-fold aggregate exactly (unrounded doubles). */
+  private def rakeOracleSql: String =
+    s"""${rakeCtes("doc_id < 500")}
+       |SELECT phrase, count(*) AS docs,
+       |       list_reduce(list_prepend(0.0, list(score ORDER BY doc_id)),
+       |         (a, b) -> a + b) AS total_score
+       |FROM kw WHERE rn2 <= 5
+       |GROUP BY phrase
+       |ORDER BY total_score DESC, phrase LIMIT 20""".stripMargin
+
+  /** q_engine_keyphrases: the STORED key_phrases dictionary is the
+    * full per-doc RAKE keyword set (no take-5), so TopKeyPhrases =
+    * per-segment top-20 by doc_freq (segment = fnv1a64(repo|path) mod
+    * 2 over the repo=doc_id, path=source identity), the reference's
+    * char filters, then a df-sum merge — all integer arithmetic. */
+  private def engineKeyPhrasesOracleSql: String =
+    s"""${rakeCtes("doc_id < 2000")},
+       |seg AS (SELECT doc_id,
+       |          CAST((((${signedSql(fnvSql(
+                      "CAST(doc_id AS VARCHAR) || '|' || source"))}) % 2 + 2) % 2)
+       |            AS INT) AS sg
+       |        FROM documents WHERE doc_id < 2000),
+       |pdf AS (SELECT s.sg, k.phrase, count(*) AS df
+       |        FROM kw k JOIN seg s ON s.doc_id = k.doc_id
+       |        WHERE length(trim(k.phrase)) > 0
+       |          AND length(regexp_replace(k.phrase, '\\p{L}', '', 'g'))
+       |              <= length(k.phrase) * 0.25
+       |          AND length(regexp_replace(k.phrase, '[^(]', '', 'g'))
+       |            = length(regexp_replace(k.phrase, '[^)]', '', 'g'))
+       |        GROUP BY 1, 2),
+       |topseg AS (SELECT sg, phrase, df FROM (
+       |             SELECT sg, phrase, df,
+       |               row_number() OVER (PARTITION BY sg
+       |                 ORDER BY df DESC, phrase) AS rn
+       |             FROM pdf)
+       |           WHERE rn <= 20)
+       |SELECT phrase, CAST(sum(df) AS DOUBLE) AS score
+       |FROM topseg GROUP BY phrase
+       |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
 
   /** FNV-1a 64 of a string column, bit-exactly IndexBuilder.fnv1a64:
     * HUGEINT fold over UTF-16 code units with mod-2^64 wrapping (the
@@ -1574,6 +1697,8 @@ object SparkEntry {
     "q_engine_expanded" -> engineExpandedOracleSql,
     "q_engine_bm25f" -> engineBm25fOracleSql,
     "q_engine_signals" -> engineSignalsOracleSql,
+    "q_rake" -> rakeOracleSql,
+    "q_engine_keyphrases" -> engineKeyPhrasesOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "q_multimodal_features" -> multimodalFeaturesOracleSql,
