@@ -986,18 +986,7 @@ object SparkEntry {
        |  ${bmB(8, "mergewindow")}),
        |rec AS (SELECT doc_id, list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS rs
        |        FROM rsc GROUP BY 1),
-       |dm AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS repo, source AS path
-       |       FROM documents),
-       |sk AS (SELECT doc_id, repo, path,
-       |         ${fnvSql("'score:' || repo || '/' || path || '@'")} AS usort,
-       |         ${signedSql(fnvSql("repo || '|' || path"))} AS segh
-       |       FROM dm),
-       |sk2 AS (SELECT doc_id, repo, path, usort, ${signedSql("usort")} AS sortkey,
-       |               CAST(((segh % 4) + 4) % 4 AS INT) AS seg FROM sk),
-       |did AS (SELECT doc_id, usort, path, seg,
-       |          CAST(row_number() OVER (PARTITION BY seg
-       |               ORDER BY sortkey DESC, repo, path) AS INT) - 1 AS docid
-       |        FROM sk2),
+       |${segDocidCtes(4)},
        |cand AS (SELECT r.doc_id, d.seg, d.docid, d.usort, d.path
        |         FROM rec r JOIN did d USING (doc_id)
        |         ORDER BY r.rs DESC, d.seg, d.docid LIMIT 160),
@@ -1045,6 +1034,149 @@ object SparkEntry {
        |       round(v_bm25f * 10000) / 10000 AS bm25f,
        |       round(v_cent * 10000) / 10000 AS centrality
        |FROM tot2 ORDER BY total DESC, seg, docid LIMIT 10""".stripMargin
+  }
+
+  /** The engine's deterministic doc identity over the `documents`
+    * face (repo = doc_id string, path = source): segment =
+    * fnv1a64(repo|path) mod nseg and docid = per-segment rank in
+    * (sortKey desc, repo, path) order — the docid-assignment
+    * invariant. Emits `did(doc_id, usort, path, seg, docid)`. */
+  private def segDocidCtes(nseg: Int): String =
+    s"""dm AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS repo, source AS path
+       |       FROM documents),
+       |sk AS (SELECT doc_id, repo, path,
+       |         ${fnvSql("'score:' || repo || '/' || path || '@'")} AS usort,
+       |         ${signedSql(fnvSql("repo || '|' || path"))} AS segh
+       |       FROM dm),
+       |sk2 AS (SELECT doc_id, repo, path, usort, ${signedSql("usort")} AS sortkey,
+       |               CAST(((segh % $nseg) + $nseg) % $nseg AS INT) AS seg FROM sk),
+       |did AS (SELECT doc_id, usort, path, seg,
+       |          CAST(row_number() OVER (PARTITION BY seg
+       |               ORDER BY sortkey DESC, repo, path) AS INT) - 1 AS docid
+       |        FROM sk2)""".stripMargin
+
+  /** q_engine_approx "table row" (k=10, budget 50/segment): the
+    * ShortCircuit face emits only (hits, count, saturated) — all three
+    * replicate exactly. saturated = any segment bigger than the
+    * budget; hits = min(k, Σ per-segment min(k, matches under the
+    * docid<budget horizon)) over the fnv1a-derived (seg, docid)
+    * assignment; count = the term-independence estimate
+    * floor(N·Π(df/N) + 0.5) in query-term multiplication order when
+    * saturated, the exact union count otherwise. */
+  private def engineApproxOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |${segDocidCtes(4)},
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |d1 AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'table'),
+       |d2 AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'row'),
+       |m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('table', 'row')),
+       |hseg AS (SELECT d.seg, count(*) AS c
+       |         FROM m JOIN did d ON d.doc_id = m.doc_id
+       |         WHERE d.docid < 50 GROUP BY 1),
+       |-- only segments holding a query-term posting reach the engine's
+       |-- saturation check (postings are grouped by segment first)
+       |segsz AS (SELECT seg, count(*) AS c FROM did
+       |          WHERE seg IN (SELECT DISTINCT d2.seg FROM m
+       |                        JOIN did d2 ON d2.doc_id = m.doc_id)
+       |          GROUP BY 1),
+       |sat AS (SELECT COALESCE(max(CASE WHEN c > 50 THEN 1 ELSE 0 END), 0) = 1
+       |               AS s FROM segsz),
+       |cnt AS (SELECT CASE WHEN sat.s THEN
+       |          CAST(floor(((CAST(st.n AS DOUBLE)
+       |                       * (CAST(d1.df AS DOUBLE) / CAST(st.n AS DOUBLE)))
+       |                       * (CAST(d2.df AS DOUBLE) / CAST(st.n AS DOUBLE)))
+       |                     + 0.5) AS BIGINT)
+       |          ELSE (SELECT count(*) FROM m) END AS c
+       |        FROM sat, st, d1, d2)
+       |SELECT CAST(COALESCE((SELECT least(10, sum(least(10, c))) FROM hseg), 0)
+       |            AS BIGINT) AS hits,
+       |       cnt.c AS count, sat.s AS saturated
+       |FROM cnt, sat""".stripMargin
+
+  /** q_engine_dedup "table merge data" (k=20): replicates the full
+    * BucketCollector drain as a recursive-CTE greedy. The lazy
+    * re-adjust heap is equivalent to a stepwise argmax by
+    * (score * 1/(1 + Σ takenCount·penalty), insertion order) — stale
+    * heap keys only ever shrink, so the popped fresh==key entry IS the
+    * true maximum. Each step either takes the argmax (bumping its four
+    * fnv1a bucket hashes) or, when its simhash is within hamming 3 of
+    * an already-taken one (the pigeonhole table is exact, so plain
+    * hamming replicates `contains`), diverts it to the dup tail that
+    * fills leftover slots. Candidates are the engine's top-320 recall
+    * (k·segments·4) in (f32 WAND score desc, seg, docid) order; the
+    * adjusted score replicates the engine's exact double ops
+    * (score * (1.0/denom), penalties summed site,url,path,title). */
+  private def engineDedupOracleSql: String = {
+    def bmC(ord: Int, t: String): String =
+      s"""SELECT x.doc_id, $ord AS ord,
+         |       ${bmScoreSql("x.tf", dfText(t), "fnid.fn", "st.avg")} AS s
+         |FROM tfq x JOIN fnid ON fnid.doc_id = x.doc_id, st WHERE x.term = '$t'""".stripMargin
+    s"""${simhashCtes("TRUE").replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              CAST((SELECT count(*) FROM tok2) AS REAL)
+       |                / CAST((SELECT count(*) FROM documents) AS REAL) AS avg),
+       |fnt AS (SELECT * FROM (VALUES ${graft.core.FieldNorm.Table.map(v => s"($v)").mkString(",")}) t(v)),
+       |fnid AS (SELECT d.doc_id, max(f.v) AS fn
+       |         FROM dl d JOIN fnt f ON f.v <= d.dl GROUP BY 1),
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       |        WHERE term IN ('table','merge','data') GROUP BY 1, 2),
+       |rsc AS (
+       |  ${bmC(1, "table")}
+       |  UNION ALL
+       |  ${bmC(2, "merge")}
+       |  UNION ALL
+       |  ${bmC(3, "data")}),
+       |rec AS (SELECT doc_id, list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS rs
+       |        FROM rsc GROUP BY 1),
+       |${segDocidCtes(4)},
+       |cand0 AS (SELECT r.doc_id, r.rs, d.seg, d.docid, d.path
+       |          FROM rec r JOIN did d ON d.doc_id = r.doc_id),
+       |cand1 AS (SELECT *, row_number() OVER (ORDER BY rs DESC, seg, docid) - 1
+       |                    AS cid FROM cand0),
+       |cand AS (SELECT c.cid, c.doc_id, CAST(c.rs AS DOUBLE) AS score,
+       |          ${signedSql(fnvSql("'site:' || CAST(c.doc_id AS VARCHAR)"))} AS hsite,
+       |          ${signedSql(fnvSql("'url:' || CAST(c.doc_id AS VARCHAR) || '/' || c.path"))} AS hurl,
+       |          ${signedSql(fnvSql("'path:' || c.path"))} AS hpath,
+       |          ${signedSql(fnvSql("'title:' || regexp_extract(c.path, '[^/]*$$')"))} AS htitle,
+       |          COALESCE(s2.s, 0) AS sim
+       |        FROM cand1 c LEFT JOIN sg s2 ON s2.doc_id = c.doc_id
+       |        WHERE c.cid < 320),
+       |g AS (
+       |  SELECT 0 AS n, CAST([] AS BIGINT[]) AS tk, CAST([] AS BIGINT[]) AS dp,
+       |         CAST([] AS BIGINT[]) AS bp, CAST([] AS BIGINT[]) AS sm
+       |  UNION ALL
+       |  SELECT n + 1,
+       |    CASE WHEN pick.isdup THEN g.tk ELSE list_append(g.tk, pick.cid) END,
+       |    CASE WHEN pick.isdup THEN list_append(g.dp, pick.cid) ELSE g.dp END,
+       |    CASE WHEN pick.isdup THEN g.bp
+       |         ELSE g.bp || [pick.hsite, pick.hurl, pick.hpath, pick.htitle] END,
+       |    CASE WHEN pick.isdup OR pick.sim = 0 THEN g.sm
+       |         ELSE list_append(g.sm, pick.sim) END
+       |  FROM g, LATERAL (
+       |    SELECT c.cid, c.hsite, c.hurl, c.hpath, c.htitle, c.sim,
+       |           (c.sim <> 0 AND len(list_filter(g.sm,
+       |              x -> bit_count(xor(c.sim, x)) <= 3)) > 0) AS isdup
+       |    FROM cand c
+       |    WHERE NOT list_contains(g.tk, c.cid) AND NOT list_contains(g.dp, c.cid)
+       |    ORDER BY c.score * (1.0 /
+       |        ((((1.0 + 0.1 * len(list_filter(g.bp, x -> x = c.hsite)))
+       |               + 20.0 * len(list_filter(g.bp, x -> x = c.hurl)))
+       |               + 1.0 * len(list_filter(g.bp, x -> x = c.hpath)))
+       |               + 1.0 * len(list_filter(g.bp, x -> x = c.htitle)))) DESC,
+       |      c.cid
+       |    LIMIT 1) pick
+       |  WHERE len(g.tk) < 20),
+       |fin AS (SELECT tk, dp FROM g ORDER BY n DESC LIMIT 1),
+       |res AS (SELECT unnest(tk || dp[1 : greatest(20 - len(tk), 0)]) AS cid,
+       |               generate_subscripts(tk || dp[1 : greatest(20 - len(tk), 0)], 1)
+       |                 AS rank
+       |        FROM fin)
+       |SELECT CAST(r.rank AS INT) AS rank, c.doc_id, c.score
+       |FROM res r JOIN cand c ON c.cid = r.cid ORDER BY rank""".stripMargin
   }
 
   /** Full RAKE replication (core.Rake.keywords) as DuckDB CTEs over
@@ -1698,6 +1830,8 @@ object SparkEntry {
     "q_engine_bm25f" -> engineBm25fOracleSql,
     "q_engine_signals" -> engineSignalsOracleSql,
     "q_rake" -> rakeOracleSql,
+    "q_engine_approx" -> engineApproxOracleSql,
+    "q_engine_dedup" -> engineDedupOracleSql,
     "q_engine_keyphrases" -> engineKeyPhrasesOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
