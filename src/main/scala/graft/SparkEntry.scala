@@ -902,26 +902,21 @@ object SparkEntry {
       UrlSlashes -> 0.0, UrlDigits -> 0.0).keys.toSeq
   }
 
-  /** q_engine_signals "table merge window": full two-stage replication.
-    * (1) Recall: the field-expanded f32 WAND score per doc (content,
-    * stemmed, bigram — trigram terms have no index field and drop, like
-    * absent cursors), candidates = top-160 (k * segments * 4) by
-    * (score desc, seg, docid) — segment = fnv1a64(repo|path) mod 4 and
-    * docid = per-segment rank by (sortKey desc, repo, path), i.e. the
-    * engine's deterministic docid-assignment invariant, both
-    * SQL-replicated via the HUGEINT fnv fold. Per-segment TopK tie
-    * order is (score desc, doc asc), so the composed per-segment +
-    * coordinator cut equals one global cut in that order.
-    * (2) Signals per candidate: the five BM25 field groups as DOUBLE
-    * sums of exactly-f32 addends in cursor ord order, content coverage,
-    * sortKey centrality (exact: (u>>>11)/2^53), the rank/count
-    * transforms, and idf_sum_url/repo = 0 (the transient index stores
-    * no meta fields). Total = the linear model folded in the engine's
-    * Map-iteration order ([[signalsIterOrder]]). The face's f32 cast of
-    * the total absorbs cross-engine ln() last-ulp differences from the
-    * rank transform. */
-  private def engineSignalsOracleSql: String = {
+  /** Parameterized CTE chain replicating rankSignals(query, keep) for
+    * plain multi-term queries over the docIndex face — recall (the
+    * field-expanded f32 WAND score, top keep*16 cut in (score desc,
+    * seg, docid) order with fnv1a-derived seg/docid), then the signal
+    * vectors and the linear-model total. Ends in
+    * `rsig(doc_id, seg, docid, v_bm25f, v_cent, total, rk)` where rk
+    * is the final (total desc, seg, docid) rank. Assumes the terms
+    * have pairwise-distinct Porter stems (true for the entry queries —
+    * duplicate stems would double-count in the engine too). */
+  private def signalsCoreCtes(terms: Seq[String], keep: Int): String = {
     import graft.core.Signals
+    val stems = terms.map(graft.core.PorterStemmer.stem)
+    val bigrams = terms.sliding(2).map(p => p(0) + p(1)).toSeq
+    val n = terms.length
+    val fetch = keep * 4 * 4
     def bmC(ord: Int, t: String): String =
       s"""SELECT x.doc_id, $ord AS ord,
          |       ${bmScoreSql("x.tf", dfText(t), "fnid.fn", "st.avg")} AS s
@@ -961,55 +956,40 @@ object SparkEntry {
     val totalSql = signalsIterOrder
       .map(k => s"(${Signals.DefaultCoefficients(k)} * ${sqlOf(k)})")
       .mkString(" + ")
+    val termsIn = terms.map(t => s"'$t'").mkString(",")
+    val bgConds = terms.sliding(2)
+      .map(p => s"(term = '${p(0)}' AND nxt = '${p(1)}')")
+      .mkString("\n           OR ")
+    val rscParts =
+      (terms.zipWithIndex.map { case (t, i) => bmC(i + 1, t) } ++
+        stems.zipWithIndex.map { case (sm, i) => bmS(n + i + 1, sm) } ++
+        bigrams.zipWithIndex.map { case (bg, i) => bmB(2 * n + i + 1, bg) })
+        .mkString("\n  UNION ALL\n  ")
+    val fscParts =
+      (terms.zipWithIndex.map { case (t, i) => bmfC(i + 1, t) } ++
+        stems.zipWithIndex.map { case (sm, i) => bmfS(n + i + 1, sm) } ++
+        bigrams.zipWithIndex.map { case (bg, i) => bmfB(2 * n + i + 1, bg) })
+        .mkString("\n  UNION ALL\n  ")
     s"""$engineCtes,
        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
-       |        WHERE term IN ('table','merge','window') GROUP BY 1, 2),
+       |        WHERE term IN ($termsIn) GROUP BY 1, 2),
        |btf AS (SELECT doc_id, term || nxt AS bg, count(*) AS tf FROM adj
-       |        WHERE (term = 'table' AND nxt = 'merge')
-       |           OR (term = 'merge' AND nxt = 'window') GROUP BY 1, 2),
+       |        WHERE $bgConds GROUP BY 1, 2),
        |bdf AS (SELECT bg, count(DISTINCT doc_id) AS df FROM btf GROUP BY 1),
        |rsc AS (
-       |  ${bmC(1, "table")}
-       |  UNION ALL
-       |  ${bmC(2, "merge")}
-       |  UNION ALL
-       |  ${bmC(3, "window")}
-       |  UNION ALL
-       |  ${bmS(4, "tabl")}
-       |  UNION ALL
-       |  ${bmS(5, "merg")}
-       |  UNION ALL
-       |  ${bmS(6, "window")}
-       |  UNION ALL
-       |  ${bmB(7, "tablemerge")}
-       |  UNION ALL
-       |  ${bmB(8, "mergewindow")}),
+       |  $rscParts),
        |rec AS (SELECT doc_id, list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS rs
        |        FROM rsc GROUP BY 1),
        |${segDocidCtes(4)},
        |cand AS (SELECT r.doc_id, d.seg, d.docid, d.usort, d.path
        |         FROM rec r JOIN did d USING (doc_id)
-       |         ORDER BY r.rs DESC, d.seg, d.docid LIMIT 160),
+       |         ORDER BY r.rs DESC, d.seg, d.docid LIMIT $fetch),
        |fsc AS (
-       |  ${bmfC(1, "table")}
-       |  UNION ALL
-       |  ${bmfC(2, "merge")}
-       |  UNION ALL
-       |  ${bmfC(3, "window")}
-       |  UNION ALL
-       |  ${bmfS(4, "tabl")}
-       |  UNION ALL
-       |  ${bmfS(5, "merg")}
-       |  UNION ALL
-       |  ${bmfS(6, "window")}
-       |  UNION ALL
-       |  ${bmfB(7, "tablemerge")}
-       |  UNION ALL
-       |  ${bmfB(8, "mergewindow")}),
+       |  $fscParts),
        |sgl AS (SELECT c.doc_id, c.seg, c.docid,
        |  COALESCE(bf.v, 0.0) AS v_bm25f,
        |  COALESCE(bc.v, 0.0) AS v_bm25c,
-       |  COALESCE(bc.m, 0) / 3.0 AS v_cov,
+       |  COALESCE(bc.m, 0) / $n.0 AS v_cov,
        |  COALESCE(bb.v, 0.0) AS v_bm25bi,
        |  COALESCE(bs.v, 0.0) AS v_bm25st,
        |  CAST(c.usort // 2048::HUGEINT AS DOUBLE) / 9007199254740992.0 AS v_cent,
@@ -1023,18 +1003,97 @@ object SparkEntry {
        |               (a, b) -> a + b) AS v FROM fsc GROUP BY 1) bf USING (doc_id)
        |  LEFT JOIN (SELECT doc_id, list_reduce(list(CAST(s AS DOUBLE) ORDER BY ord),
        |               (a, b) -> a + b) AS v, count(*) AS m
-       |             FROM rsc WHERE ord <= 3 GROUP BY 1) bc USING (doc_id)
-       |  LEFT JOIN (${dsum("ord BETWEEN 7 AND 8")}) bb USING (doc_id)
-       |  LEFT JOIN (${dsum("ord BETWEEN 4 AND 6")}) bs USING (doc_id)),
+       |             FROM rsc WHERE ord <= $n GROUP BY 1) bc USING (doc_id)
+       |  LEFT JOIN (${dsum(s"ord > 2 * $n")}) bb USING (doc_id)
+       |  LEFT JOIN (${dsum(s"ord BETWEEN $n + 1 AND 2 * $n")}) bs USING (doc_id)),
        |tot2 AS (SELECT doc_id, seg, docid, v_bm25f, v_cent,
-       |                ($totalSql) AS total FROM sgl)
-       |SELECT CAST(row_number() OVER (ORDER BY total DESC, seg, docid) AS INT) AS rank,
-       |       doc_id,
+       |                ($totalSql) AS total FROM sgl),
+       |rsig AS (SELECT doc_id, seg, docid, v_bm25f, v_cent, total,
+       |           row_number() OVER (ORDER BY total DESC, seg, docid) AS rk
+       |         FROM tot2)""".stripMargin
+  }
+
+  /** q_engine_signals "table merge window" (k=10): see
+    * [[signalsCoreCtes]]. The face's f32 cast of the total absorbs
+    * cross-engine ln() last-ulp differences from the rank transform. */
+  private def engineSignalsOracleSql: String =
+    s"""${signalsCoreCtes(Seq("table", "merge", "window"), 10)}
+       |SELECT CAST(rk AS INT) AS rank, doc_id,
        |       round(CAST(CAST(total AS REAL) AS DOUBLE) * 10000) / 10000 AS total,
        |       round(v_bm25f * 10000) / 10000 AS bm25f,
        |       round(v_cent * 10000) / 10000 AS centrality
-       |FROM tot2 ORDER BY total DESC, seg, docid LIMIT 10""".stripMargin
-  }
+       |FROM rsig WHERE rk <= 10 ORDER BY rk""".stripMargin
+
+  /** q_pipeline "table merge data" (k=10, slack 4): the FULL serving
+    * pipeline — rankSignals top-40 ([[signalsCoreCtes]], the Hit score
+    * being the f32-cast model total), the BucketCollector drain (same
+    * recursive greedy as q_engine_dedup, seq = signal rank), and the
+    * snippet stage. The corpus text carries no sentence punctuation
+    * and no leading whitespace, so Snippets.generate reduces to the
+    * one whole-text passage truncated at 325 chars; the face keeps 60
+    * — substr(text, 1, 60) exactly. */
+  private def enginePipelineOracleSql: String =
+    s"""${signalsCoreCtes(Seq("table", "merge", "data"), 40)
+          .replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |tcnt2 AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |vh2 AS (SELECT term, ${fnvSql("term")} AS h
+       |        FROM (SELECT DISTINCT term FROM tcnt2)),
+       |th2 AS (SELECT t.doc_id, v.h, t.cnt FROM tcnt2 t
+       |        JOIN vh2 v ON t.term = v.term),
+       |bits2 AS (SELECT doc_id, bb.b AS b,
+       |          sum(CASE WHEN (h // (1::HUGEINT << bb.b)) % 2 = 1
+       |                   THEN cnt ELSE -cnt END) AS c
+       |          FROM th2, (SELECT unnest(range(64)) AS b) bb GROUP BY 1, 2),
+       |usig2 AS (SELECT doc_id, sum(CASE WHEN c > 0 THEN (1::HUGEINT << b)
+       |                                  ELSE 0::HUGEINT END) AS u
+       |          FROM bits2 GROUP BY 1),
+       |sg2 AS (SELECT doc_id, ${signedSql("u")} AS s FROM usig2),
+       |pc AS (SELECT r.rk - 1 AS cid, r.doc_id,
+       |         CAST(CAST(r.total AS REAL) AS DOUBLE) AS score,
+       |         ${signedSql(fnvSql("'site:' || CAST(r.doc_id AS VARCHAR)"))} AS hsite,
+       |         ${signedSql(fnvSql("'url:' || CAST(r.doc_id AS VARCHAR) || '/' || dm.path"))} AS hurl,
+       |         ${signedSql(fnvSql("'path:' || dm.path"))} AS hpath,
+       |         ${signedSql(fnvSql("'title:' || regexp_extract(dm.path, '[^/]*$$')"))} AS htitle,
+       |         COALESCE(s2.s, 0) AS sim
+       |       FROM rsig r JOIN dm ON dm.doc_id = r.doc_id
+       |       LEFT JOIN sg2 s2 ON s2.doc_id = r.doc_id
+       |       WHERE r.rk <= 40),
+       |g AS (
+       |  SELECT 0 AS n, CAST([] AS BIGINT[]) AS tk, CAST([] AS BIGINT[]) AS dp,
+       |         CAST([] AS BIGINT[]) AS bp, CAST([] AS BIGINT[]) AS sm
+       |  UNION ALL
+       |  SELECT n + 1,
+       |    CASE WHEN pick.isdup THEN g.tk ELSE list_append(g.tk, pick.cid) END,
+       |    CASE WHEN pick.isdup THEN list_append(g.dp, pick.cid) ELSE g.dp END,
+       |    CASE WHEN pick.isdup THEN g.bp
+       |         ELSE g.bp || [pick.hsite, pick.hurl, pick.hpath, pick.htitle] END,
+       |    CASE WHEN pick.isdup OR pick.sim = 0 THEN g.sm
+       |         ELSE list_append(g.sm, pick.sim) END
+       |  FROM g, LATERAL (
+       |    SELECT c.cid, c.hsite, c.hurl, c.hpath, c.htitle, c.sim,
+       |           (c.sim <> 0 AND len(list_filter(g.sm,
+       |              x -> bit_count(xor(c.sim, x)) <= 3)) > 0) AS isdup
+       |    FROM pc c
+       |    WHERE NOT list_contains(g.tk, c.cid) AND NOT list_contains(g.dp, c.cid)
+       |    ORDER BY c.score * (1.0 /
+       |        ((((1.0 + 0.1 * len(list_filter(g.bp, x -> x = c.hsite)))
+       |               + 20.0 * len(list_filter(g.bp, x -> x = c.hurl)))
+       |               + 1.0 * len(list_filter(g.bp, x -> x = c.hpath)))
+       |               + 1.0 * len(list_filter(g.bp, x -> x = c.htitle)))) DESC,
+       |      c.cid
+       |    LIMIT 1) pick
+       |  WHERE len(g.tk) < 10),
+       |fin AS (SELECT tk, dp FROM g ORDER BY n DESC LIMIT 1),
+       |res AS (SELECT unnest(tk || dp[1 : greatest(10 - len(tk), 0)]) AS cid,
+       |               generate_subscripts(tk || dp[1 : greatest(10 - len(tk), 0)], 1)
+       |                 AS rank
+       |        FROM fin)
+       |SELECT CAST(r.rank AS INT) AS rank, c.doc_id,
+       |       round(c.score * 10000) / 10000 AS score,
+       |       substr(d.text, 1, 60) AS snippet
+       |FROM res r JOIN pc c ON c.cid = r.cid
+       |JOIN documents d ON d.doc_id = c.doc_id
+       |ORDER BY rank""".stripMargin
 
   /** The engine's deterministic doc identity over the `documents`
     * face (repo = doc_id string, path = source): segment =
@@ -1832,6 +1891,7 @@ object SparkEntry {
     "q_rake" -> rakeOracleSql,
     "q_engine_approx" -> engineApproxOracleSql,
     "q_engine_dedup" -> engineDedupOracleSql,
+    "q_pipeline" -> enginePipelineOracleSql,
     "q_engine_keyphrases" -> engineKeyPhrasesOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
