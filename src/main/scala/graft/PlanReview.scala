@@ -59,6 +59,16 @@ object PlanReview {
     // 8. bigrams: shuffle-free zip_with plan (no window exchange)
     show("q_bigrams", SparkEntry.queries("q_bigrams")(spark, "/root/testdata/sf0.001"))
 
+    // 9. key-phrase dictionary walk: the field prefix must reach the
+    //    sorted term scan (row-group min/max pruning)
+    show("keyphrase termdict scan",
+      idx.postings.filter($"term".startsWith(Fields.KeyPhrasePrefix)).toDF())
+
+    // 10. siteUrls generic query: repo filter pushed into the doc scan
+    show("siteUrls (repo pushdown)",
+      idx.docs.filter($"repo" === "org001/repo001")
+        .orderBy($"segment", $"docId").limit(10).toDF())
+
     // latency check with resident fnorms
     val lats = Bench.queryLatencies(spark, dir, reps = 3)
     val s = lats.sorted

@@ -30,11 +30,12 @@ object Stemmers {
       case "nl" | "dutch" | "nederlands"     => dutch
       case "sv" | "swedish" | "svenska"      => swedish
       case "da" | "danish" | "dansk"         => danish
+      case "ro" | "romanian" | "romana"      => romanian
       case _                                 => PorterStemmer.stem
     }
 
   val SupportedLanguages: Seq[String] =
-    Seq("en", "de", "fr", "es", "ru", "pt", "it", "nl", "sv", "da")
+    Seq("en", "de", "fr", "es", "ru", "pt", "it", "nl", "sv", "da", "ro")
 
   @inline private def isVowel(c: Char, vowels: String): Boolean =
     vowels.indexOf(c) >= 0
@@ -934,6 +935,153 @@ object Stemmers {
         w = w.substring(0, w.length - 2) + d
     }
     w.replace('Y', 'y').replace('I', 'i')
+  }
+
+  // -------------------------------------------------------------- Romanian
+
+  private val RoVowels = "aăâeiîou"
+
+  /** Snowball Romanian
+    * (snowballstem.org/algorithms/romanian/stemmer.html), mainline
+    * rules: plural/article step 0, the combining-suffix loop, standard
+    * suffixes in R2, the common verb suffixes in RV (only when steps
+    * 1-2 removed nothing), final-vowel removal. Comma-below ș/ț
+    * normalize to the cedilla forms the algorithm is defined over.
+    * Pipeline note: index tokens arrive diacritic-stripped
+    * (Tokenizers NFKD fold), so only the ASCII suffix subset fires
+    * there — identically on doc and query sides, which is what
+    * conflation needs. */
+  def romanian(word0: String): String = {
+    if (word0 == null || word0.length < 2) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase.replace('ș', 'ş').replace('ț', 'ţ')
+    // protect i/u between vowels
+    val cs = w.toCharArray
+    var i = 1
+    while (i < cs.length - 1) {
+      if ((cs(i) == 'i' || cs(i) == 'u') &&
+        isVowel(cs(i - 1), RoVowels) && isVowel(cs(i + 1), RoVowels))
+        cs(i) = if (cs(i) == 'i') 'I' else 'U'
+      i += 1
+    }
+    w = new String(cs)
+    val r1 = regionAfterVC(w, 0, RoVowels)
+    val r2 = regionAfterVC(w, r1, RoVowels)
+    val rv = rvIberian(w, RoVowels)
+    @inline def inR1(pos: Int) = pos >= r1
+    @inline def inR2(pos: Int) = pos >= r2
+    @inline def inRV(pos: Int) = pos >= rv
+    /** Longest pattern of `pats` matching within the region; replace
+      * with `to`. Returns true when applied. */
+    def replaceIn(pats: Seq[String], to: String, in: Int => Boolean): Boolean = {
+      val hit = pats.sortBy(-_.length)
+        .find(p => w.endsWith(p) && in(w.length - p.length))
+      hit match {
+        case Some(p) => w = w.dropRight(p.length) + to; true
+        case None => false
+      }
+    }
+
+    // step 0: plurals / articles (in R1; alternatives are longest-match
+    // within the combined among, so probe longest-first across groups)
+    val step0: Seq[(Seq[String], String)] = Seq(
+      (Seq("ului", "ul"), ""),
+      (Seq("aua"), "a"),
+      (Seq("elor", "ele", "ea"), "e"),
+      (Seq("iilor", "iile", "iua", "iei", "ii"), "i"),
+      (Seq("atei"), "at"),
+      (Seq("aţie", "aţia"), "aţi"))
+    val all0 = step0.flatMap { case (ps, to) => ps.map(p => (p, to)) } ++
+      Seq(("ilor", "i"))
+    val best0 = (all0 ++ Seq(("ile", "i")))
+      .filter { case (p, _) => w.endsWith(p) && inR1(w.length - p.length) }
+      .filter { case (p, _) => p != "ile" || !w.dropRight(3).endsWith("ab") }
+      .sortBy { case (p, _) => -p.length }
+      .headOption
+    best0.foreach { case (p, to) => w = w.dropRight(p.length) + to }
+
+    // step 1: combining suffixes, repeated while any fires (in R1)
+    var removed12 = false
+    var changed = true
+    while (changed) {
+      changed =
+        replaceIn(Seq("abilitate", "abilitati", "abilităi", "abilităţi"),
+          "abil", inR1) ||
+        replaceIn(Seq("ibilitate"), "ibil", inR1) ||
+        replaceIn(Seq("ivitate", "ivitati", "ivităi", "ivităţi"), "iv", inR1) ||
+        replaceIn(Seq("icitate", "icitati", "icităi", "icităţi", "icator",
+          "icatori", "icive", "icivi", "icivă", "iciv", "icale", "icali",
+          "icală", "ical"), "ic", inR1) ||
+        replaceIn(Seq("aţiune", "atoare", "atori", "ative", "ativi", "ativă",
+          "ativ", "ator", "ătoare", "ători", "ător"), "at", inR1) ||
+        replaceIn(Seq("iţiune", "itoare", "itive", "itivi", "itivă", "itiv",
+          "itori", "itor"), "it", inR1)
+      if (changed) removed12 = true
+    }
+
+    // step 2: standard suffixes (in R2)
+    val del2 = Seq("abila", "abile", "abili", "abilă", "abil", "ibila",
+      "ibile", "ibili", "ibilă", "ibil", "itate", "itati", "ităţi", "ităi",
+      "atori", "ator", "oasa", "oasă", "oase", "anta", "ante", "anti",
+      "antă", "ant", "ata", "ată", "ati", "ate", "at", "uta", "ută", "uti",
+      "ute", "ut", "ita", "ită", "iti", "ite", "it", "ica", "ice", "ici",
+      "ică", "ic", "osi", "oşi", "os", "iva", "ive", "ivi", "ivă", "iv")
+    val ist2 = Seq("isme", "ism", "ista", "iste", "isti", "istă", "işti", "ist")
+    val iune2 = Seq("iune", "iuni")
+    val cand2: Seq[(String, Int)] = // (pattern, kind 0=del 1=ist 2=iune)
+      del2.map((_, 0)) ++ ist2.map((_, 1)) ++ iune2.map((_, 2))
+    val best2 = cand2
+      .filter { case (p, _) => w.endsWith(p) && inR2(w.length - p.length) }
+      .filter { case (p, k) => k != 2 ||
+        (w.length > p.length && w.charAt(w.length - p.length - 1) == 'ţ') }
+      .sortBy { case (p, _) => -p.length }
+      .headOption
+    best2.foreach { case (p, k) =>
+      k match {
+        case 0 => w = w.dropRight(p.length)
+        case 1 => w = w.dropRight(p.length) + "ist"
+        case 2 => w = w.dropRight(p.length + 1) + "t" // ţiune -> t
+      }
+      removed12 = true
+    }
+
+    // step 3: verb suffixes in RV, only when steps 1-2 removed nothing
+    if (!removed12) {
+      val uncond = Seq("seserăm", "seserăţi", "seseră", "seseşi", "sesem",
+        "serăm", "serăţi", "seşi", "seră", "sese", "sei", "se")
+      val condCU = Seq("ârăm", "ârăţi", "ească", "arăm", "arăţi", "irăm",
+        "irăţi", "indu", "ându", "ează", "eşti", "eşte", "ăşti", "ăşte",
+        "aşi", "âşi", "işi", "ară", "âră", "iră", "are", "ere", "ire",
+        "âre", "ind", "ând", "eze", "eam", "eai", "eau", "iam", "iai",
+        "iau", "esc", "ăsc", "ez", "ezi", "am", "ai", "au", "ui", "âi",
+        "em", "eţi", "ăm", "aţi")
+      val hitU = uncond.sortBy(-_.length)
+        .find(p => w.endsWith(p) && inRV(w.length - p.length))
+      val hitC = condCU.sortBy(-_.length)
+        .find { p =>
+          val pos = w.length - p.length
+          w.endsWith(p) && inRV(pos) && pos > 0 && {
+            val prev = w.charAt(pos - 1)
+            !isVowel(prev, RoVowels) || prev == 'u'
+          }
+        }
+      (hitU, hitC) match {
+        case (Some(u), Some(c)) =>
+          if (u.length >= c.length) w = w.dropRight(u.length)
+          else w = w.dropRight(c.length)
+        case (Some(u), None) => w = w.dropRight(u.length)
+        case (None, Some(c)) => w = w.dropRight(c.length)
+        case _ =>
+      }
+    }
+
+    // step 4: final vowel (longest of a/e/i/ie/ă in RV, deleted)
+    if (w.endsWith("ie") && inRV(w.length - 2)) w = w.dropRight(2)
+    else {
+      val last = if (w.nonEmpty) w.charAt(w.length - 1) else ' '
+      if ((last == 'a' || last == 'e' || last == 'i' || last == 'ă') &&
+        inRV(w.length - 1)) w = w.dropRight(1)
+    }
+    w.replace('I', 'i').replace('U', 'u')
   }
 
   // --------------------------------------------------------------- Swedish

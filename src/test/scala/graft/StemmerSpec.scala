@@ -111,7 +111,8 @@ class StemmerSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(17)
     val fns = Seq(Stemmers.german _, Stemmers.french _, Stemmers.spanish _,
       Stemmers.russian _, Stemmers.portuguese _, Stemmers.italian _,
-      Stemmers.dutch _, Stemmers.swedish _, Stemmers.danish _)
+      Stemmers.dutch _, Stemmers.swedish _, Stemmers.danish _,
+      Stemmers.romanian _)
     (0 until 2000).foreach { _ =>
       val s = rnd.nextString(rnd.nextInt(24))
       fns.foreach { f =>
@@ -148,6 +149,18 @@ class StemmerSpec extends AnyFunSuite {
     assert(danish("åbnes") == danish("åbnet"))   // -es / -et conflate
     assert(danish("hedens") == "hed")            // -ens inside R1
     assert(danish("huset") != danish("musene"))
+  }
+
+  test("romanian: article/plural/verb conflation") {
+    import Stemmers.romanian
+    assert(romanian("lucrează") == "lucr")        // verb 3sg -ează
+    assert(romanian("lucrăm") == "lucr")          // verb 1pl -ăm
+    assert(romanian("cartea") == romanian("carte")) // def. article -ea
+    assert(romanian("copiilor") == romanian("copii")) // gen/dat pl
+    assert(romanian("abilitate") == "abil")       // step-2 itate
+    assert(romanian("contabilitate") == "contabil") // step-1 abilitate
+    assert(romanian("jucătorii") == romanian("jucător")) // agent noun
+    assert(romanian("carte") != romanian("munte"))
   }
 
   test("index integration: German docs recall inflected forms via de query stemming") {
