@@ -381,6 +381,15 @@ object SparkEntry {
           "embedding", 3, dim = 64, bits = 8)
         .orderBy("probe_id", "rnk")
     }),
+    "q_embed_ivf_knn" -> ((s, d) => {
+      // IVF ANN: seeded coarse quantizer (data-derived and therefore
+      // SQL-re-derivable), 4-of-16 probed cells, exact rerank within —
+      // the k-means-family scale path beside sign-LSH
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfKnnJoin(emb, emb.where(col("vec_id") < 10), "vec_id",
+          "embedding", 3, nlist = 16, nprobe = 4)
+        .orderBy("probe_id", "rnk")
+    }),
 
     // ---- engine-native (non-SQL-expressible; rows-only gate) ----
     "q_index_wand" -> ((s, d) => indexWandTopK(s, d)),
@@ -598,6 +607,41 @@ object SparkEntry {
        |SELECT probe_id, nbr_id, cos, rnk FROM rk WHERE rnk <= $k
        |ORDER BY probe_id, rnk""".stripMargin
   }
+
+  /** q_embed_ivf_knn: IVF with the SEEDED coarse quantizer — centroids
+    * are the first nlist corpus vectors, so the oracle re-derives them
+    * from the same table; assignment/probing tie-break on (cos desc,
+    * centroid id) exactly like the engine's (cos, -id) struct argmax.
+    * Each corpus vector lives in ONE cell, so probe-neighbor pairs are
+    * produced at most once. */
+  private def ivfKnnOracleSql(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |              WHERE vec_id < $nlist),
+       |cosmat AS (SELECT e.vec_id, c.cid,
+       |    list_dot_product(e.embedding::DOUBLE[], c.ce::DOUBLE[]) /
+       |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       |       sqrt(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]))) AS cos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |rkc AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, cid) AS rn FROM cosmat),
+       |asgn AS (SELECT vec_id, cid AS cell FROM rkc WHERE rn = 1),
+       |pcell AS (SELECT vec_id AS probe_id, cid AS cell FROM rkc
+       |          WHERE vec_id < 10 AND rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.probe_id, a.vec_id AS nbr_id,
+       |         round(list_dot_product(pe.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(pe.embedding::DOUBLE[], pe.embedding::DOUBLE[])) *
+       |            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cos
+       |  FROM pcell p
+       |  JOIN asgn a ON a.cell = p.cell AND a.vec_id <> p.probe_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings pe ON pe.vec_id = p.probe_id),
+       |rk AS (SELECT probe_id, nbr_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                            ORDER BY cos DESC, nbr_id) AS rnk
+       |       FROM scored)
+       |SELECT probe_id, nbr_id, cos, rnk FROM rk WHERE rnk <= $k
+       |ORDER BY probe_id, rnk""".stripMargin
 
   /** DuckDB oracle replicating the ENGINE's BM25 bit-for-bit, so the
     * full index path (tokenize -> segment build -> posting codec ->
@@ -1880,6 +1924,7 @@ object SparkEntry {
         |SELECT probe_id, nbr_id, cos, rnk FROM rk WHERE rnk <= 3
         |ORDER BY probe_id, rnk""".stripMargin,
     "q_embed_lsh_knn" -> lshKnnOracleSql(3, 64, 8),
+    "q_embed_ivf_knn" -> ivfKnnOracleSql(3, 16, 4),
     "q_index_wand" -> engineBm25OracleSql(
       Seq("table", "merge", "window", "group", "data"), 20),
     "q_engine_bool" -> engineBoolOracleSql,

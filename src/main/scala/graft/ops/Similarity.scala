@@ -68,6 +68,81 @@ object Similarity {
       when(dot(vec, typedLit(plane(b, dim))) >= 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF coarse-quantizer cell id: argmax cosine over the centroid
+    * list (ties to the smallest centroid id), evaluated as one
+    * `greatest` over (cos, -id) structs — pure column expressions,
+    * codegen'd, centroids broadcast as literals. */
+  def ivfCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedLit(c)).as("cos"), lit(-i).as("nid"))
+    }
+    (if (scored.length == 1) scored.head else greatest(scored: _*))
+      .getField("nid") * -1
+  }
+
+  /** IVF centroids. Seeded = the first `nlist` corpus vectors in id
+    * order (deterministic AND data-derived, so a SQL oracle can
+    * re-derive them from the same table); `refine` Lloyd iterations
+    * (assign -> per-cell per-dimension mean) improve the quantizer
+    * when bit-replication is not required — distributed mean sums make
+    * refined centroids deterministic only up to float addition order. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, refine: Int = 0): Seq[Array[Float]] = {
+    var cents: Seq[Array[Float]] = df
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    var it = 0
+    while (it < refine) {
+      val assigned = df.select(col(vecCol).as("v"),
+        ivfCell(col(vecCol), cents).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1).toFloat).toArray)
+        .toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF kNN join — the k-means-family ANN scale path beside sign-LSH:
+    * every corpus vector is assigned to its nearest of `nlist` coarse
+    * centroids (one broadcast pass, the cell id becomes the shuffle
+    * key); each probe searches only its `nprobe` nearest cells with
+    * exact cosine rerank inside. Candidates shrink ~nlist/nprobe-fold
+    * vs a full scan and there is no corpus-x-probes cross join. With
+    * nprobe = nlist the probe set covers every cell and the result
+    * equals the exact knnJoin (spec-gated). */
+  def ivfKnnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                 refine: Int = 0): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refine)
+    val cb = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      ivfCell(col(vecCol), cents).as("cell"))
+    // nprobe nearest cells per probe: literal centroid structs sorted
+    // by (cos desc, id asc), sliced, exploded into probe-cell pairs
+    val cellStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((cosine(col(vecCol), typedLit(c)) * -1).as("negcos"), lit(i).as("nid"))
+    }: _*)
+    val pb = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        explode(slice(array_sort(cellStructs), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("probe_vec"), col("pc.nid").as("cell"))
+    val scored = cb.join(pb, "cell")
+      .where(col("probe_id") =!= col("nbr_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        round(cosine(col("probe_vec"), col("nbr_vec")), 4).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("probe_id", "nbr_id", "cos", "rnk")
+  }
+
   /** Approximate kNN join at scale: corpus and probes bucket by
     * sign-LSH, candidates pair WITHIN a bucket (shuffle keyed by bucket
     * id — no corpus-x-probes cross join), exact cosine reranks inside.

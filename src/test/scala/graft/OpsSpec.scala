@@ -86,6 +86,39 @@ class OpsSpec extends AnyFunSuite {
     assert(b1.except(again).count() == 0)
   }
 
+  test("ivfKnnJoin: nprobe=nlist equals the exact join; partial probing recalls clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val vecs = (0 until 6).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      (0 until 6).map { m =>
+        val v = center.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f)
+        ((c * 6 + m).toLong, v)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") % 6 === 0)
+    val exact = Similarity.knnJoin(df, probes, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full probing covers every cell -> identical to the exact join
+    val full = Similarity.ivfKnnJoin(df, probes, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == exact)
+    // partial probing keeps high recall on clustered data
+    val part = Similarity.ivfKnnJoin(df, probes, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact.map(t => (t._1, t._2)) & part).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivf cluster recall too low: $recall")
+    // a Lloyd refinement pass still yields a valid full-coverage join
+    val refined = Similarity.ivfKnnJoin(df, probes, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 8, refine = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(refined == exact)
+  }
+
   test("lshKnnJoin: exact rerank within buckets, high recall on clusters") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
