@@ -187,11 +187,21 @@ object SparkEntry {
         .orderBy("lang", "rn")
     }),
     "q_count_distinct_hll" -> ((s, d) => {
-      // HyperLogLog sketch face (rows-only: the sketch estimate is
-      // Spark-internal; OpsSpec bounds its error vs the exact twin)
+      // HyperLogLog sketch face. The raw estimate is Spark-internal
+      // (engine-specific, so no cross-engine oracle exists for the
+      // VALUE) — the driver-checkable contract is the sketch's ERROR
+      // BOUND: the face emits the exact count plus a per-language
+      // within-5% flag of the HLL estimate against it; the oracle
+      // recomputes the exact side and asserts the flag. A sketch
+      // regression flips the flag and fails the hash loudly. The raw
+      // estimate itself stays gated by OpsSpec.
       tokensDF(s, d).join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
-        .agg(approx_count_distinct("term", 0.02).as("vocab_approx"))
+        .agg(countDistinct("term").as("vocab"),
+          approx_count_distinct("term", 0.02).as("hll"))
+        .select(col("lang"), col("vocab"),
+          (abs(col("hll") - col("vocab")) <= col("vocab") * lit(0.05))
+            .as("within_bound"))
         .orderBy("lang")
     }),
     "q_count_distinct" -> ((s, d) => {
@@ -1739,6 +1749,12 @@ object SparkEntry {
     "q_count_distinct" ->
       s"""$TokCte
          |SELECT d.lang, count(DISTINCT t.term) AS vocab
+         |FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_count_distinct_hll" ->
+      s"""$TokCte
+         |SELECT d.lang, count(DISTINCT t.term) AS vocab,
+         |       TRUE AS within_bound
          |FROM tok t JOIN documents d ON t.doc_id = d.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_bigrams" ->
