@@ -1112,36 +1112,7 @@ object SparkEntry {
        |       FROM rsig r JOIN dm ON dm.doc_id = r.doc_id
        |       LEFT JOIN sg2 s2 ON s2.doc_id = r.doc_id
        |       WHERE r.rk <= 40),
-       |g AS (
-       |  SELECT 0 AS n, CAST([] AS BIGINT[]) AS tk, CAST([] AS BIGINT[]) AS dp,
-       |         CAST([] AS BIGINT[]) AS bp, CAST([] AS BIGINT[]) AS sm
-       |  UNION ALL
-       |  SELECT n + 1,
-       |    CASE WHEN pick.isdup THEN g.tk ELSE list_append(g.tk, pick.cid) END,
-       |    CASE WHEN pick.isdup THEN list_append(g.dp, pick.cid) ELSE g.dp END,
-       |    CASE WHEN pick.isdup THEN g.bp
-       |         ELSE g.bp || [pick.hsite, pick.hurl, pick.hpath, pick.htitle] END,
-       |    CASE WHEN pick.isdup OR pick.sim = 0 THEN g.sm
-       |         ELSE list_append(g.sm, pick.sim) END
-       |  FROM g, LATERAL (
-       |    SELECT c.cid, c.hsite, c.hurl, c.hpath, c.htitle, c.sim,
-       |           (c.sim <> 0 AND len(list_filter(g.sm,
-       |              x -> bit_count(xor(c.sim, x)) <= 3)) > 0) AS isdup
-       |    FROM pc c
-       |    WHERE NOT list_contains(g.tk, c.cid) AND NOT list_contains(g.dp, c.cid)
-       |    ORDER BY c.score * (1.0 /
-       |        ((((1.0 + 0.1 * len(list_filter(g.bp, x -> x = c.hsite)))
-       |               + 20.0 * len(list_filter(g.bp, x -> x = c.hurl)))
-       |               + 1.0 * len(list_filter(g.bp, x -> x = c.hpath)))
-       |               + 1.0 * len(list_filter(g.bp, x -> x = c.htitle)))) DESC,
-       |      c.cid
-       |    LIMIT 1) pick
-       |  WHERE len(g.tk) < 10),
-       |fin AS (SELECT tk, dp FROM g ORDER BY n DESC LIMIT 1),
-       |res AS (SELECT unnest(tk || dp[1 : greatest(10 - len(tk), 0)]) AS cid,
-       |               generate_subscripts(tk || dp[1 : greatest(10 - len(tk), 0)], 1)
-       |                 AS rank
-       |        FROM fin)
+       |${greedyDrainCtes("pc", 10)}
        |SELECT CAST(r.rank AS INT) AS rank, c.doc_id,
        |       round(c.score * 10000) / 10000 AS score,
        |       substr(d.text, 1, 60) AS snippet
@@ -1208,6 +1179,62 @@ object SparkEntry {
        |       cnt.c AS count, sat.s AS saturated
        |FROM cnt, sat""".stripMargin
 
+  /** Carried-list BucketCollector drain over
+    * `src(cid, score, hsite, hurl, hpath, htitle, sim)`: the stepwise
+    * argmax greedy with the candidate list embedded in the recursion
+    * STATE — the base case evaluates `src` exactly once, every step is
+    * pure list arithmetic. (A table-referencing recursive term gets the
+    * feeding CTE chain re-inlined per iteration, which made the drain
+    * quadratic; AS MATERIALIZED silently yields an empty recursion in
+    * DuckDB, so carrying the list is the only single-statement fix.)
+    * Tie order: the fold keeps the FIRST maximum of the cid-ascending
+    * list — smallest cid among equals, the collector's seq order.
+    * Emits g/fin/res(cid, rank); join res back to `src` for output. */
+  private def greedyDrainCtes(src: String, k: Int): String =
+    s"""g AS (
+       |  SELECT 0 AS n,
+       |         (SELECT list(struct_pack(cid := cid, score := score,
+       |             hsite := hsite, hurl := hurl, hpath := hpath,
+       |             htitle := htitle, sim := sim) ORDER BY cid)
+       |          FROM $src) AS cands,
+       |         CAST([] AS BIGINT[]) AS tk, CAST([] AS BIGINT[]) AS dp,
+       |         CAST([] AS BIGINT[]) AS bp, CAST([] AS BIGINT[]) AS sm
+       |  UNION ALL
+       |  SELECT n + 1, cands,
+       |    CASE WHEN d.isdup THEN tk ELSE list_append(tk, s2.pick.cid) END,
+       |    CASE WHEN d.isdup THEN list_append(dp, s2.pick.cid) ELSE dp END,
+       |    CASE WHEN d.isdup THEN bp
+       |         ELSE bp || [s2.pick.hsite, s2.pick.hurl, s2.pick.hpath, s2.pick.htitle] END,
+       |    CASE WHEN d.isdup OR s2.pick.sim = 0 THEN sm
+       |         ELSE list_append(sm, s2.pick.sim) END
+       |  FROM (
+       |    SELECT g2.*,
+       |      CASE WHEN len(g2.rem) = 0 THEN NULL ELSE
+       |        list_reduce(
+       |          list_transform(g2.rem, c -> struct_pack(
+       |            adj := c.score * (1.0 /
+       |              ((((1.0 + 0.1 * len(list_filter(g2.bp, x -> x = c.hsite)))
+       |                     + 20.0 * len(list_filter(g2.bp, x -> x = c.hurl)))
+       |                     + 1.0 * len(list_filter(g2.bp, x -> x = c.hpath)))
+       |                     + 1.0 * len(list_filter(g2.bp, x -> x = c.htitle)))),
+       |            cid := c.cid, hsite := c.hsite, hurl := c.hurl,
+       |            hpath := c.hpath, htitle := c.htitle, sim := c.sim)),
+       |          (a, b) -> CASE WHEN b.adj > a.adj THEN b ELSE a END)
+       |      END AS pick
+       |    FROM (
+       |      SELECT g.*, list_filter(g.cands, c ->
+       |          NOT list_contains(g.tk, c.cid)
+       |          AND NOT list_contains(g.dp, c.cid)) AS rem
+       |      FROM g WHERE len(g.tk) < $k) g2) s2,
+       |  LATERAL (SELECT (s2.pick.sim <> 0 AND len(list_filter(s2.sm,
+       |             x -> bit_count(xor(s2.pick.sim, x)) <= 3)) > 0) AS isdup) d
+       |  WHERE s2.pick IS NOT NULL),
+       |fin AS (SELECT tk, dp FROM g ORDER BY n DESC LIMIT 1),
+       |res AS (SELECT unnest(tk || dp[1 : greatest($k - len(tk), 0)]) AS cid,
+       |               generate_subscripts(tk || dp[1 : greatest($k - len(tk), 0)], 1)
+       |                 AS rank
+       |        FROM fin)""".stripMargin
+
   /** q_engine_dedup "table merge data" (k=20): replicates the full
     * BucketCollector drain as a recursive-CTE greedy. The lazy
     * re-adjust heap is equivalent to a stepwise argmax by
@@ -1258,36 +1285,7 @@ object SparkEntry {
        |          COALESCE(s2.s, 0) AS sim
        |        FROM cand1 c LEFT JOIN sg s2 ON s2.doc_id = c.doc_id
        |        WHERE c.cid < 320),
-       |g AS (
-       |  SELECT 0 AS n, CAST([] AS BIGINT[]) AS tk, CAST([] AS BIGINT[]) AS dp,
-       |         CAST([] AS BIGINT[]) AS bp, CAST([] AS BIGINT[]) AS sm
-       |  UNION ALL
-       |  SELECT n + 1,
-       |    CASE WHEN pick.isdup THEN g.tk ELSE list_append(g.tk, pick.cid) END,
-       |    CASE WHEN pick.isdup THEN list_append(g.dp, pick.cid) ELSE g.dp END,
-       |    CASE WHEN pick.isdup THEN g.bp
-       |         ELSE g.bp || [pick.hsite, pick.hurl, pick.hpath, pick.htitle] END,
-       |    CASE WHEN pick.isdup OR pick.sim = 0 THEN g.sm
-       |         ELSE list_append(g.sm, pick.sim) END
-       |  FROM g, LATERAL (
-       |    SELECT c.cid, c.hsite, c.hurl, c.hpath, c.htitle, c.sim,
-       |           (c.sim <> 0 AND len(list_filter(g.sm,
-       |              x -> bit_count(xor(c.sim, x)) <= 3)) > 0) AS isdup
-       |    FROM cand c
-       |    WHERE NOT list_contains(g.tk, c.cid) AND NOT list_contains(g.dp, c.cid)
-       |    ORDER BY c.score * (1.0 /
-       |        ((((1.0 + 0.1 * len(list_filter(g.bp, x -> x = c.hsite)))
-       |               + 20.0 * len(list_filter(g.bp, x -> x = c.hurl)))
-       |               + 1.0 * len(list_filter(g.bp, x -> x = c.hpath)))
-       |               + 1.0 * len(list_filter(g.bp, x -> x = c.htitle)))) DESC,
-       |      c.cid
-       |    LIMIT 1) pick
-       |  WHERE len(g.tk) < 20),
-       |fin AS (SELECT tk, dp FROM g ORDER BY n DESC LIMIT 1),
-       |res AS (SELECT unnest(tk || dp[1 : greatest(20 - len(tk), 0)]) AS cid,
-       |               generate_subscripts(tk || dp[1 : greatest(20 - len(tk), 0)], 1)
-       |                 AS rank
-       |        FROM fin)
+       |${greedyDrainCtes("cand", 20)}
        |SELECT CAST(r.rank AS INT) AS rank, c.doc_id, c.score
        |FROM res r JOIN cand c ON c.cid = r.cid ORDER BY rank""".stripMargin
   }
