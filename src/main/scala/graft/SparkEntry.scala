@@ -531,6 +531,14 @@ object SparkEntry {
       import s.implicits._
       keyPhraseIndex(s, d).topKeyPhrases(20).toDF("phrase", "score")
     }),
+    "q_engine_suggest" -> ((s, d) => {
+      // Autosuggest built from the STORED key-phrase dictionary
+      // (reference autosuggest.rs builds its fst from TopKeyPhrases)
+      import s.implicits._
+      graft.index.Autosuggest.fromIndex(keyPhraseIndex(s, d), pool = 100)
+        .suggestions("table").zipWithIndex
+        .map { case (p, i) => (i + 1, p) }.toDF("rank", "suggestion")
+    }),
     "q_rake" -> ((s, d) => {
       // corpus-level top key phrases (live index TopKeyPhrases analog):
       // per-doc RAKE keywords aggregated by phrase. The cross-doc score
@@ -1384,7 +1392,10 @@ object SparkEntry {
     * per-segment top-20 by doc_freq (segment = fnv1a64(repo|path) mod
     * 2 over the repo=doc_id, path=source identity), the reference's
     * char filters, then a df-sum merge — all integer arithmetic. */
-  private def engineKeyPhrasesOracleSql: String =
+  /** topKeyPhrases(n) over the keyPhraseIndex face as CTEs ending in
+    * `kps(phrase, score)` — the per-segment top-n df cut with the
+    * reference's char filters and the df-sum merge. */
+  private def keyPhrasesTopCtes(n: Int): String =
     s"""${rakeCtes("doc_id < 2000")},
        |seg AS (SELECT doc_id,
        |          CAST((((${signedSql(fnvSql(
@@ -1404,10 +1415,28 @@ object SparkEntry {
        |               row_number() OVER (PARTITION BY sg
        |                 ORDER BY df DESC, phrase) AS rn
        |             FROM pdf)
-       |           WHERE rn <= 20)
-       |SELECT phrase, CAST(sum(df) AS DOUBLE) AS score
-       |FROM topseg GROUP BY phrase
-       |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+       |           WHERE rn <= $n),
+       |kps AS (SELECT phrase, CAST(sum(df) AS DOUBLE) AS score
+       |        FROM topseg GROUP BY phrase
+       |        ORDER BY score DESC, phrase LIMIT $n)""".stripMargin
+
+  private def engineKeyPhrasesOracleSql: String =
+    s"""${keyPhrasesTopCtes(20)}
+       |SELECT phrase, score FROM kps ORDER BY score DESC, phrase""".stripMargin
+
+  /** q_engine_suggest: Autosuggest over the stored key phrases —
+    * prefix candidates in lexicographic order capped at 64, ranked by
+    * key-phrase score (ties alphabetical, the stable-sort semantics),
+    * 10 kept, returned alphabetically. */
+  private def engineSuggestOracleSql: String =
+    s"""${keyPhrasesTopCtes(100)},
+       |cand AS (SELECT phrase, score FROM kps
+       |         WHERE phrase LIKE 'table%' ORDER BY phrase LIMIT 64),
+       |pick AS (SELECT phrase FROM cand
+       |         ORDER BY score DESC, phrase LIMIT 10)
+       |SELECT CAST(row_number() OVER (ORDER BY phrase) AS INT) AS rank,
+       |       phrase AS suggestion
+       |FROM pick ORDER BY rank""".stripMargin
 
   /** FNV-1a 64 of a string column, bit-exactly IndexBuilder.fnv1a64:
     * HUGEINT fold over UTF-16 code units with mod-2^64 wrapping (the
@@ -1952,6 +1981,7 @@ object SparkEntry {
     "q_engine_dedup" -> engineDedupOracleSql,
     "q_pipeline" -> enginePipelineOracleSql,
     "q_engine_keyphrases" -> engineKeyPhrasesOracleSql,
+    "q_engine_suggest" -> engineSuggestOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "q_multimodal_features" -> multimodalFeaturesOracleSql,
