@@ -69,6 +69,17 @@ object PlanReview {
       idx.docs.filter($"repo" === "org001/repo001")
         .orderBy($"segment", $"docId").limit(10).toDF())
 
+    // 11. pipeline simhash fetch: candidate (repo, path) keys broadcast
+    //     against the doc table — a BroadcastHashJoin projecting only
+    //     repo/path/simhash, NOT a repo-wide collect (one monorepo
+    //     among the candidates must not ship every file it contains)
+    val candKeys = spark.createDataset(
+        Seq(("org001/repo001", "src/a.scala"), ("org002/repo002", "b.md")))
+      .toDF("repo", "path")
+    show("pipeline simhash fetch (broadcast candidate keys)",
+      idx.docs.join(broadcast(candKeys), Seq("repo", "path"))
+        .select($"repo", $"path", $"simhash"))
+
     // latency check with resident fnorms
     val lats = Bench.queryLatencies(spark, dir, reps = 3)
     val s = lats.sorted

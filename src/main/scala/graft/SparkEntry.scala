@@ -610,6 +610,10 @@ object SparkEntry {
     }.mkString(" + ")
     s"""WITH b AS (
        |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |bcap AS (
+       |  SELECT x.vec_id, x.embedding, x.bucket FROM b x
+       |  JOIN (SELECT bucket FROM b GROUP BY bucket
+       |        HAVING count(*) <= 10000) ok ON ok.bucket = x.bucket),
        |probes AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
        |           FROM b WHERE vec_id < 10),
        |scored AS (
@@ -617,7 +621,7 @@ object SparkEntry {
        |         round(list_dot_product(p.pe::DOUBLE[], e.embedding::DOUBLE[]) /
        |           (sqrt(list_dot_product(p.pe::DOUBLE[], p.pe::DOUBLE[])) *
        |            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cos
-       |  FROM probes p JOIN b e ON e.bucket = p.bucket AND e.vec_id <> p.probe_id),
+       |  FROM probes p JOIN bcap e ON e.bucket = p.bucket AND e.vec_id <> p.probe_id),
        |rk AS (SELECT probe_id, nbr_id, cos,
        |              ROW_NUMBER() OVER (PARTITION BY probe_id
        |                                 ORDER BY cos DESC, nbr_id) AS rnk
@@ -906,11 +910,30 @@ object SparkEntry {
        |${rankedTopK(20)}""".stripMargin
   }
 
-  /** q_engine_bm25f "table merge window": per-(term, field) scores in
-    * plan order — content x3 (coeff 1.0), stemmed x3 (0.5, shared idf
-    * from the CONTENT df of the stem text), bigram x2 (0.25, own
+  /** q_engine_bm25f "table merge window": two stages like the engine —
+    * recall = the field-expanded f32 WAND score (plain per-field BM25,
+    * summed in cursor ord order) cut to the segment-count-independent
+    * candidateBudget(tieSlack(20)) = 500 in (score desc, seg, docid)
+    * order, then per-(term, field) BM25F scores in plan order over the
+    * candidates only — content x3 (coeff 1.0), stemmed x3 (0.5, shared
+    * idf from the CONTENT df of the stem text), bigram x2 (0.25, own
     * fieldnorms fnid2 + avg2) — summed f32 in plan ord. */
   private def engineBm25fOracleSql: String = {
+    val fetch = graft.index.InvertedIndex.candidateBudget(tieSlack(20))
+    def recC(ord: Int, t: String): String =
+      s"""SELECT x.doc_id, $ord AS ord,
+         |       ${bmScoreSql("x.tf", dfText(t), "fnid.fn", "st.avg")} AS s
+         |FROM tfq x JOIN fnid ON fnid.doc_id = x.doc_id, st WHERE x.term = '$t'""".stripMargin
+    def recS(ord: Int, sm: String): String =
+      s"""SELECT f.doc_id, $ord AS ord,
+         |       ${bmScoreSql("f.tf", s"(SELECT df FROM sdf WHERE stem = '$sm')",
+                              "fnid.fn", "st.avg")} AS s
+         |FROM stf f JOIN fnid ON fnid.doc_id = f.doc_id, st WHERE f.stem = '$sm'""".stripMargin
+    def recB(ord: Int, bg: String): String =
+      s"""SELECT b.doc_id, $ord AS ord,
+         |       ${bmScoreSql("b.tf", s"(SELECT df FROM bdf WHERE bg = '$bg')",
+                              "fnid2.fn", "st.avg2")} AS s
+         |FROM btf b JOIN fnid2 ON fnid2.doc_id = b.doc_id, st WHERE b.bg = '$bg'""".stripMargin
     def content(ord: Int, t: String): String =
       s"""SELECT x.doc_id, $ord AS ord,
          |       ${bmfScoreSql("x.tf", "1.0::REAL", dfText(t), "fnid.fn", "st.avg")} AS s
@@ -929,6 +952,28 @@ object SparkEntry {
        |btf AS (SELECT doc_id, term || nxt AS bg, count(*) AS tf FROM adj
        |        WHERE (term = 'table' AND nxt = 'merge')
        |           OR (term = 'merge' AND nxt = 'window') GROUP BY 1, 2),
+       |bdf AS (SELECT bg, count(DISTINCT doc_id) AS df FROM btf GROUP BY 1),
+       |rsc AS (
+       |  ${recC(1, "table")}
+       |  UNION ALL
+       |  ${recC(2, "merge")}
+       |  UNION ALL
+       |  ${recC(3, "window")}
+       |  UNION ALL
+       |  ${recS(4, "tabl")}
+       |  UNION ALL
+       |  ${recS(5, "merg")}
+       |  UNION ALL
+       |  ${recS(6, "window")}
+       |  UNION ALL
+       |  ${recB(7, "tablemerge")}
+       |  UNION ALL
+       |  ${recB(8, "mergewindow")}),
+       |rec AS (SELECT doc_id, list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS rs
+       |        FROM rsc GROUP BY 1),
+       |${segDocidCtes(4)},
+       |cand AS (SELECT r.doc_id FROM rec r JOIN did d USING (doc_id)
+       |         ORDER BY r.rs DESC, d.seg, d.docid LIMIT $fetch),
        |sc AS (
        |  ${content(1, "table")}
        |  UNION ALL
@@ -947,7 +992,8 @@ object SparkEntry {
        |  ${bigram(8, "mergewindow")}),
        |tot AS (SELECT doc_id,
        |               list_reduce(list(s ORDER BY ord), (a, b) -> a + b) AS score
-       |        FROM sc GROUP BY doc_id)
+       |        FROM sc WHERE doc_id IN (SELECT doc_id FROM cand)
+       |        GROUP BY doc_id)
        |${rankedTopK(20)}""".stripMargin
   }
 
@@ -966,9 +1012,10 @@ object SparkEntry {
 
   /** Parameterized CTE chain replicating rankSignals(query, keep) for
     * plain multi-term queries over the docIndex face — recall (the
-    * field-expanded f32 WAND score, top keep*16 cut in (score desc,
-    * seg, docid) order with fnv1a-derived seg/docid), then the signal
-    * vectors and the linear-model total. Ends in
+    * field-expanded f32 WAND score, top candidateBudget(keep) cut in
+    * (score desc, seg, docid) order with fnv1a-derived seg/docid — the
+    * segment-count-independent budget of InvertedIndex.candidateBudget),
+    * then the signal vectors and the linear-model total. Ends in
     * `rsig(doc_id, seg, docid, v_bm25f, v_cent, total, rk)` where rk
     * is the final (total desc, seg, docid) rank. Assumes the terms
     * have pairwise-distinct Porter stems (true for the entry queries —
@@ -978,7 +1025,7 @@ object SparkEntry {
     val stems = terms.map(graft.core.PorterStemmer.stem)
     val bigrams = terms.sliding(2).map(p => p(0) + p(1)).toSeq
     val n = terms.length
-    val fetch = keep * 4 * 4
+    val fetch = graft.index.InvertedIndex.candidateBudget(keep)
     def bmC(ord: Int, t: String): String =
       s"""SELECT x.doc_id, $ord AS ord,
          |       ${bmScoreSql("x.tf", dfText(t), "fnid.fn", "st.avg")} AS s
@@ -1252,8 +1299,9 @@ object SparkEntry {
     * fnv1a bucket hashes) or, when its simhash is within hamming 3 of
     * an already-taken one (the pigeonhole table is exact, so plain
     * hamming replicates `contains`), diverts it to the dup tail that
-    * fills leftover slots. Candidates are the engine's top-320 recall
-    * (k·segments·4) in (f32 WAND score desc, seg, docid) order; the
+    * fills leftover slots. Candidates are the engine's top
+    * candidateBudget(20)=100 recall (the segment-count-independent
+    * budget) in (f32 WAND score desc, seg, docid) order; the
     * adjusted score replicates the engine's exact double ops
     * (score * (1.0/denom), penalties summed site,url,path,title). */
   private def engineDedupOracleSql: String = {
@@ -1292,7 +1340,7 @@ object SparkEntry {
        |          ${signedSql(fnvSql("'title:' || regexp_extract(c.path, '[^/]*$$')"))} AS htitle,
        |          COALESCE(s2.s, 0) AS sim
        |        FROM cand1 c LEFT JOIN sg s2 ON s2.doc_id = c.doc_id
-       |        WHERE c.cid < 320),
+       |        WHERE c.cid < ${graft.index.InvertedIndex.candidateBudget(20)}),
        |${greedyDrainCtes("cand", 20)}
        |SELECT CAST(r.rank AS INT) AS rank, c.doc_id, c.score
        |FROM res r JOIN cand c ON c.cid = r.cid ORDER BY rank""".stripMargin
@@ -1889,9 +1937,14 @@ object SparkEntry {
         |sig AS (
         |  SELECT doc_id, band, min(substr(h, band*8 + 1, 8)) AS sig
         |  FROM hs, (SELECT unnest([0,1,2,3]) AS band)
-        |  GROUP BY doc_id, band)
+        |  GROUP BY doc_id, band),
+        |sigp AS (
+        |  SELECT s.doc_id, s.band, s.sig FROM sig s
+        |  JOIN (SELECT band, sig FROM sig GROUP BY band, sig
+        |        HAVING count(*) <= 1000) ok
+        |    ON ok.band = s.band AND ok.sig = s.sig)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM sig a JOIN sig b
+        |FROM sigp a JOIN sigp b
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" ->

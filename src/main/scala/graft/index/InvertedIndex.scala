@@ -277,6 +277,19 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     }
   }
 
+  /** Simhashes of a small candidate set, keyed by (repo, path) —
+    * broadcast hash join on the tiny key side (the `resolve` pattern).
+    * Only the candidate rows — join keys + simhash — ever reach the
+    * driver, regardless of how many files the candidates' repos hold. */
+  def simhashOf(keys: Seq[(String, String)]): Map[(String, String), Long] = {
+    if (keys.isEmpty) return Map.empty
+    val keyDS = spark.createDataset(keys.distinct).toDF("repo", "path")
+    docs.join(broadcast(keyDS), Seq("repo", "path"))
+      .select($"repo", $"path", $"simhash")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
   /** DataFrame face of `search` for the driver contract. */
   def searchDF(query: String, k: Int, mode: String = "or"): DataFrame = {
     val hits = search(query, k, mode)
@@ -331,9 +344,16 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       val lastQ = trimmed.lastIndexWhere(quotes.contains)
       if (lastQ > 0 && lastQ < trimmed.length - 1) {
         val tail = trimmed.substring(lastQ + 1)
-        if (tail.length >= 2 && tail.charAt(0) == '~' && tail.drop(1).forall(_.isDigit))
+        // ASCII-digit check + toLongOption: Char.isDigit also accepts
+        // Unicode digits (fullwidth, Arabic-Indic) whose toLong throws,
+        // and a 20+-digit run overflows — neither may crash the parse.
+        // An overflowing digit run is certainly > 255, so it saturates
+        // to the slop cap instead of falling through to the term path.
+        if (tail.length >= 2 && tail.charAt(0) == '~' &&
+            tail.drop(1).forall(c => c >= '0' && c <= '9'))
           return (trimmed.substring(1, lastQ),
-            "phrase~" + math.min(tail.drop(1).toLong, 255L), Nil, Nil)
+            "phrase~" + math.min(tail.drop(1).toLongOption.getOrElse(255L), 255L),
+            Nil, Nil)
       }
     }
     val parts = trimmed.split("\\s+").filter(_.nonEmpty)
@@ -528,6 +548,22 @@ final class InvertedIndex(spark: SparkSession, dir: String,
   def rankSignals(query: String, k: Int,
                   coeffs: Map[String, Double] = Signals.DefaultCoefficients)
       : Array[(Hit, Map[String, Double])] = {
+    val fetchK = InvertedIndex.candidateBudget(k)
+    val cands = searchBatchRaw(Seq(("q", query, fetchK, "or+", Nil)))("q")
+    rankSignalsOver(query, cands, k, coeffs)
+  }
+
+  /** Signal-model rerank over an externally recalled candidate set —
+    * e.g. the pipeline's phrase route, where phrase-mode WAND supplies
+    * the candidates and the signal computer then scores them exactly
+    * like a term query's (the reference's ranking pipeline reranks
+    * whatever the recall stage emitted regardless of the recall query
+    * shape, ranking/pipeline/stages/initial.rs:79-93). `query` drives
+    * the query-dependent signals (per-field BM25/BM25F/idf sums over
+    * the tokenized terms); `cands` gates which docs get vectors. */
+  def rankSignalsOver(query: String, cands: Array[(Int, Int, Float)], k: Int,
+                      coeffs: Map[String, Double] = Signals.DefaultCoefficients)
+      : Array[(Hit, Map[String, Double])] = {
     val base = Tokenizers.default(query).distinct.take(16).toSeq
     if (base.isEmpty || stats.numDocs == 0) return Array.empty
     val N = stats.numDocs
@@ -546,8 +582,6 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       bigrams.map(_.substring(Fields.BigramPrefix.length))).distinct
     val dfs = dfOf((allTerms ++ idfTexts).distinct)
 
-    val fetchK = k * math.max(stats.numSegments, 1) * 4
-    val cands = searchBatchRaw(Seq(("q", query, fetchK, "or+", Nil)))("q")
     if (cands.isEmpty) return Array.empty
     val candBySeg = cands.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sorted }
     val bCands = spark.sparkContext.broadcast(candBySeg)
@@ -767,8 +801,8 @@ final class InvertedIndex(spark: SparkSession, dir: String,
           base.sliding(2).map { p =>
             (Fields.bigramTerm(p(0), p(1)), Fields.Bigram, p(0) + p(1)) }.toSeq
         else Nil)
-    // recall stage
-    val fetchK = k * math.max(stats.numSegments, 1) * 4
+    // recall stage (per-segment budget independent of segment count)
+    val fetchK = InvertedIndex.candidateBudget(k)
     val cands = searchBatchRaw(Seq(("q", query, fetchK, "or+", Nil)))("q")
     if (cands.isEmpty) return Array.empty
     val candBySeg: Map[Int, Array[Int]] =
@@ -846,7 +880,7 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * code corpus as repo=site, repo/path=url, path=url-sans-tld,
     * file name=title. */
   def searchDeduped(query: String, k: Int, mode: String = "or"): Array[Hit] = {
-    val fetchK = k * math.max(stats.numSegments, 1) * 4
+    val fetchK = InvertedIndex.candidateBudget(k)
     val raw = searchBatchRaw(Seq(("q", query, fetchK, mode, Nil)))("q")
     if (raw.isEmpty) return Array.empty
     val hitDS = spark.createDataset(raw.toSeq).toDF("segment", "docId", "score")
@@ -943,16 +977,29 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       m(t.length)(c.length)
     }
 
-    // job 1: one sorted dictionary scan covering every term's pool (the
-    // 2^20 bound keeps a pathological dictionary from collecting
-    // unbounded rows; per-term pools re-cap at `cap` below)
+    // job 1: one pushed-down dictionary scan; the per-term top-`cap`
+    // pools (term-asc, the dictionary order) are computed IN the
+    // cluster by a window over the (query-term, dict-term) candidate
+    // pairs, so at most cap x terms rows ever reach the driver — no
+    // driver-bounded safety collect, and the cap survives any
+    // dictionary size.
     val pred = uniq.map(t =>
       slen($"term").between(t.length - maxDist, t.length + maxDist) &&
         levenshtein($"term", lit(t)) <= maxDist).reduce(_ || _)
-    val pool = termsWhere(pred, cap = 1 << 20)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qt").orderBy($"term")
+    val poolRows = postings.filter(pred && !$"term".contains("\u0000"))
+      .select($"term").distinct()
+      .select($"term", explode(array(uniq.map(lit): _*)).as("qt"))
+      .where(slen($"term").between(slen($"qt") - maxDist, slen($"qt") + maxDist) &&
+        levenshtein($"term", $"qt") <= maxDist)
+      .withColumn("rn", row_number().over(w)).where($"rn" <= cap)
+      .select($"qt", $"term", $"rn").collect()
+    val byQt: Map[String, Seq[String]] = poolRows
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
     val candsOf: Map[String, Seq[String]] = uniq.map { t =>
-      t -> ((pool.filter(c => math.abs(c.length - t.length) <= maxDist &&
-        dist(t, c) <= maxDist).take(cap) :+ t).distinct)
+      t -> ((byQt.getOrElse(t, Seq.empty) :+ t).distinct)
     }.toMap
 
     // job 2: unigram dfs for all candidates
@@ -1078,4 +1125,18 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     Iterator.single((seg, -1, 0.0f, matched, saturated)) ++
       topk.sorted.iterator.map(h => (seg, h.doc, h.score, matched, saturated))
   }
+}
+
+object InvertedIndex {
+  /** Candidate budget of the two-stage rerank paths (rankSignals,
+    * searchBm25F, searchDeduped): how many recall candidates feed the
+    * rerank/collect stage. Deliberately a function of k ONLY — the
+    * reference fetches a per-segment budget independent of segment
+    * count (collector/top_docs.rs:100-124; the coordinator merge at
+    * :433-460 then cuts over top_n per segment). searchBatchRaw gives
+    * each segment a heap of this size and the driver merge cuts the
+    * union back to it, so per-segment work and the rows shipped per
+    * segment stay O(k) as the corpus (and its segment count) grows
+    * 100x. The slack floor matches the driver faces' tieSlack shape. */
+  def candidateBudget(k: Int): Int = k + math.max(80, 4 * k)
 }

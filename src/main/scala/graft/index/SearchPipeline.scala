@@ -46,30 +46,36 @@ object SearchPipeline {
 
     // stages 2-3: candidates with signal vectors
     val ranked: Seq[(Hit, Map[String, Double])] =
-      if (ops.nonEmpty || mode == "phrase") {
-        // operator/phrase queries route through their evaluators; the
+      if (ops.nonEmpty) {
+        // operator queries route through the boolean evaluator; the
         // raw engine score stands in for the model total
-        val hits =
-          if (ops.nonEmpty) {
-            val tree = BooleanQuery.Bool(
-              must = ops.map(BooleanQuery.Term.apply),
-              should = idx.queryTerms(body).toSeq.map(BooleanQuery.Term.apply),
-              mustNot = minus.flatMap(m => idx.queryTerms(m)).distinct
-                .map(BooleanQuery.Term.apply))
-            idx.resolve(idx.searchBool(BooleanQuery.factor(tree), k * cfg.slack),
-              k * cfg.slack)
-          } else idx.search(body, k * cfg.slack, mode, minus)
+        val tree = BooleanQuery.Bool(
+          must = ops.map(BooleanQuery.Term.apply),
+          should = idx.queryTerms(body).toSeq.map(BooleanQuery.Term.apply),
+          mustNot = minus.flatMap(m => idx.queryTerms(m)).distinct
+            .map(BooleanQuery.Term.apply))
+        val hits = idx.resolve(
+          idx.searchBool(BooleanQuery.factor(tree), k * cfg.slack),
+          k * cfg.slack)
         hits.toSeq.map(h => (h, Map.empty[String, Double]))
+      } else if (mode.startsWith("phrase")) {
+        // phrase (incl. "..."~N slop) recall gates the candidates, then
+        // the signal model reranks them like any term query — phrase
+        // hits get full explainable signal vectors instead of the raw
+        // phrase-WAND score
+        val cands = idx.searchRaw(body,
+          InvertedIndex.candidateBudget(k * cfg.slack), mode, minus)
+        idx.rankSignalsOver(body, cands, k * cfg.slack, cfg.coeffs).toSeq
       } else idx.rankSignals(body, k * cfg.slack, cfg.coeffs).toSeq
     if (ranked.isEmpty) return Nil
 
-    // stage 4: bucket dedup + simhash drain over the candidate page
-    val simhashes: Map[(String, String), Long] = {
-      import org.apache.spark.sql.functions.col
-      val repos = ranked.map(_._1.repo).distinct
-      idx.docs.filter(col("repo").isin(repos: _*))
-        .collect().map(d => (d.repo, d.path) -> d.simhash).toMap
-    }
+    // stage 4: bucket dedup + simhash drain over the candidate page.
+    // Simhashes resolve through a broadcast join on EXACTLY the k·slack
+    // candidate (repo, path) keys — joining on repo alone would collect
+    // every file of any monorepo among the candidates (the scale
+    // anti-pattern the fetchTexts doc below forbids).
+    val simhashes: Map[(String, String), Long] =
+      idx.simhashOf(ranked.map(c => (c._1.repo, c._1.path)))
     val coll = new BucketCollector[(Hit, Map[String, Double])](k,
       c => c._1.score.toDouble,
       c => DocHashes(

@@ -148,11 +148,28 @@ object Similarity {
     * id — no corpus-x-probes cross join), exact cosine reranks inside.
     * Recall trades off with `bits` (more bits = smaller buckets = fewer
     * candidates); multi-probe variants add neighboring buckets. The
-    * exact `knnJoin` stays the oracle for bounded probe sets. */
+    * exact `knnJoin` stays the oracle for bounded probe sets.
+    *
+    * `maxBucketSize` caps the corpus-side bucket population (the
+    * minhashCandidates left-anti prune): a near-constant embedding
+    * column puts every vector on the same side of every hyperplane and
+    * one bucket goes quadratic — hot buckets are dropped wholesale
+    * (documented recall loss for their probes) instead of melting an
+    * executor. The bucket-count pass is a cheap partial-agg. */
   def lshKnnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
-                 vecCol: String, k: Int, dim: Int, bits: Int = 8): DataFrame = {
-    val cb = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+                 vecCol: String, k: Int, dim: Int, bits: Int = 8,
+                 maxBucketSize: Int = 10000): DataFrame = {
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
+    val cb0 = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
       lshBucket(col(vecCol), dim, bits).as("bucket"))
+    val cb =
+      if (maxBucketSize == Int.MaxValue) cb0
+      else {
+        val hot = cb0.groupBy("bucket")
+          .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+          .select("bucket")
+        cb0.join(broadcast(hot), Seq("bucket"), "left_anti")
+      }
     val pb = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       lshBucket(col(vecCol), dim, bits).as("bucket"))
     val scored = cb.join(pb, "bucket")

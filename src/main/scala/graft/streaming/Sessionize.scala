@@ -46,7 +46,12 @@ object Sessionize {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last <= gapMs =>
-            cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+            // min the start: a late in-watermark event may be OLDER
+            // than the open session's start (t - s.last negative) and
+            // must widen the session backwards, not silently vanish
+            // into an unchanged [start, last] envelope
+            cur = Some(SessState(math.min(s.start, t), math.max(s.last, t),
+              s.n + 1, s.sum + e.value))
           case Some(s) =>
             out += close(userId, s)
             cur = Some(SessState(t, t, 1, e.value))
@@ -75,7 +80,14 @@ object Sessionize {
 
   /** Batch oracle: the same fold applied per user in one shot, all
     * sessions closed at the end. Streaming output (after every open
-    * session timed out or was flushed) must equal this exactly. */
+    * session timed out or was flushed) equals this exactly for
+    * IN-ORDER-PER-USER delivery across micro-batches (the spec's
+    * setting). Cross-batch reordering within the watermark is handled
+    * conservatively — a late event older than the open session widens
+    * it backwards (start min) — but an event that would have BRIDGED
+    * two sessions a previous batch already split (or split one it
+    * merged) cannot retract emitted rows in append mode, so exact
+    * batch equality is not claimed for arbitrary reordering. */
   def sessionsBatch(events: Seq[Ev], gapMs: Long): Seq[Session] =
     events.groupBy(_.userId).toSeq.flatMap { case (uid, evs) =>
       val out = scala.collection.mutable.ArrayBuffer[Session]()

@@ -148,6 +148,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lshKnnJoin: hot-bucket cap prunes a degenerate constant-vector corpus") {
+    import spark.implicits._
+    // a constant embedding column puts every vector on the same side of
+    // every hyperplane -> ONE bucket holds the whole corpus and its
+    // within-bucket pairing is quadratic without the cap
+    val dim = 16
+    val v = Array.fill(dim)(0.5f)
+    val df = (0L until 50L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") < 3)
+    val capped = Similarity.lshKnnJoin(df, probes, "vec_id", "embedding", 3,
+      dim, bits = 8, maxBucketSize = 10)
+    assert(capped.count() == 0L) // hot bucket dropped wholesale
+    val uncapped = Similarity.lshKnnJoin(df, probes, "vec_id", "embedding", 3,
+      dim, bits = 8, maxBucketSize = Int.MaxValue)
+    assert(uncapped.count() == 9L) // 3 probes x top-3, opt-in exhaustive
+  }
+
   test("multimodal plumbing: schema, determinism, frame sampling") {
     import spark.implicits._
     val media = Multimodal.synthesize(spark, docs.limit(50), "doc_id", "text")

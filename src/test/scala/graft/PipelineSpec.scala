@@ -51,6 +51,26 @@ class PipelineSpec extends AnyFunSuite {
   test("phrase query routes through the phrase evaluator") {
     val res = SearchPipeline.run(index, "\"data table\"", 5, fetch)
     res.foreach(r => assert(textMap((r.repo, r.path)).contains("data table")))
+    // phrase recall gates the candidates, but the signal model reranks
+    // them: phrase hits carry full explainable signal vectors now
+    res.foreach { r =>
+      assert(r.signals.nonEmpty)
+      assert(r.signals.contains(graft.core.Signals.Bm25F))
+    }
+  }
+
+  test("sloppy phrase routes through phrase recall + signal rerank") {
+    val res = SearchPipeline.run(index, "\"data table\"~2", 10, fetch)
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      // recall stayed phrase-gated: both words present (a bag-of-words
+      // recall would admit single-word docs)
+      val t = textMap((r.repo, r.path))
+      assert(t.contains("data") && t.contains("table"))
+      // and the rerank attached non-empty signal vectors
+      assert(r.signals.nonEmpty)
+      assert(r.signals.contains(graft.core.Signals.Bm25F))
+    }
   }
 
   test("empty query yields no results") {
