@@ -496,6 +496,21 @@ object SparkEntry {
       val (hits, count, saturated) = idx.searchApprox("table row", 10, 50)
       Seq((hits.length.toLong, count, saturated)).toDF("hits", "count", "saturated")
     }),
+    "q_optics" -> ((s, d) => {
+      // optics DSL over doc metadata: anchored/wildcard patterns,
+      // AND-groups, Boost/Downrank/Discard and host preferences; the
+      // multiplier is the reference's boost fold. Pure-Column regexp
+      // trees, no UDF; the oracle reuses the identical regex strings.
+      val optic = graft.index.Optics.parse(OpticText)
+      val doc = t(s, d, "documents").select(col("doc_id"),
+        col("doc_id").cast("string").as("site"),
+        concat(col("doc_id").cast("string"), lit("/"), col("source")).as("url"),
+        col("source").as("title"))
+      val (mult, discard) = graft.index.Optics.columns(optic,
+        col("site"), col("site"), col("url"), col("title"))
+      doc.select(col("doc_id"), mult.as("mult"), discard.as("discarded"))
+        .orderBy("doc_id")
+    }),
     "q_simhash_pairs" -> ((s, d) => {
       // near-dup pairs via the 4-block prefix bucket join (no all-pairs)
       Dedup.simhashPairs(s, t(s, d, "documents").where(col("doc_id") < 2000),
@@ -1193,6 +1208,56 @@ object SparkEntry {
        |          CAST(row_number() OVER (PARTITION BY seg
        |               ORDER BY sortkey DESC, repo, path) AS INT) - 1 AS docid
        |        FROM sk2)""".stripMargin
+
+  /** The q_optics face's optic: exercises end-anchored and wildcard
+    * patterns, an AND match group, all three actions and both host
+    * preferences over the documents metadata (site = doc_id as string,
+    * url = doc_id/source, title = source). */
+  private val OpticText: String =
+    """Rule { Matches { Title("src1|") }, Action(Boost(3)) };
+      |Rule { Matches { Url("*src1*"), Site("|1*") }, Action(Downrank(2)) };
+      |Rule { Matches { Site("|13|") }, Action(Discard) };
+      |Like(Site("42"));
+      |Dislike(Site("|7|"))""".stripMargin
+
+  /** q_optics oracle: the SAME parsed optic lowers to SQL — identical
+    * regex strings (RE2-safe, no \Q\E), the same boost/downrank sums
+    * and the same 1/(1+diff) fold in plain double arithmetic. */
+  private def opticsOracleSql: String = {
+    import graft.index.Optics
+    val optic = Optics.parse(OpticText)
+    def colOf(loc: Optics.Location): String = loc match {
+      case Optics.Site => "site"
+      case Optics.Domain => "site"
+      case Optics.Url => "url"
+      case Optics.Title => "title"
+    }
+    def ruleMatch(r: Optics.Rule): String =
+      r.matches.map(_.map(m =>
+          s"regexp_matches(${colOf(m.location)}, '${m.regex}')")
+        .mkString("(", " AND ", ")")).mkString("(", " OR ", ")")
+    def sumOf(parts: Seq[String]): String =
+      if (parts.isEmpty) "0.0" else parts.mkString(" + ")
+    val boost = sumOf(optic.rules.collect { case r @ Optics.Rule(_, Optics.Boost(b)) =>
+      s"(CASE WHEN ${ruleMatch(r)} THEN $b.0 ELSE 0.0 END)" })
+    val down = sumOf(optic.rules.collect { case r @ Optics.Rule(_, Optics.Downrank(b)) =>
+      s"(CASE WHEN ${ruleMatch(r)} THEN $b.0 ELSE 0.0 END)" })
+    val disc = {
+      val parts = optic.rules.collect { case r @ Optics.Rule(_, Optics.Discard) =>
+        ruleMatch(r) }
+      if (parts.isEmpty) "FALSE" else parts.mkString("(", " OR ", ")")
+    }
+    s"""WITH m AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS site,
+       |  CAST(doc_id AS VARCHAR) || '/' || source AS url, source AS title
+       |  FROM documents),
+       |f AS (SELECT doc_id, $boost AS boost, $down AS down, $disc AS disc
+       |      FROM m)
+       |SELECT doc_id,
+       |  CASE WHEN down > boost THEN 1.0/(1.0+(down-boost))
+       |       ELSE boost - down + 1.0 END AS mult,
+       |  disc AS discarded
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** q_engine_approx "table row" (k=10, budget 50/segment): the
     * ShortCircuit face emits only (hits, count, saturated) — all three
@@ -2031,6 +2096,7 @@ object SparkEntry {
     "q_engine_signals" -> engineSignalsOracleSql,
     "q_rake" -> rakeOracleSql,
     "q_engine_approx" -> engineApproxOracleSql,
+    "q_optics" -> opticsOracleSql,
     "q_engine_dedup" -> engineDedupOracleSql,
     "q_pipeline" -> enginePipelineOracleSql,
     "q_engine_keyphrases" -> engineKeyPhrasesOracleSql,

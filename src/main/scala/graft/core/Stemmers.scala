@@ -4,8 +4,8 @@ package graft.core
   * document language, crates/core/src/schema/text_field.rs:294-326 +
   * tokenizer/fields/stemmed.rs; the reference links 17 languages from
   * the tantivy/rust-stemmers crate). This file re-derives the published
-  * Snowball algorithms (snowballstem.org) for German, French and
-  * Spanish; English remains the existing PorterStemmer. Unsupported
+  * Snowball algorithms (snowballstem.org) for all 16 of the
+  * reference's dispatched languages; English remains the PorterStemmer. Unsupported
   * languages fall back to English, like the reference's
   * `unwrap_or(Lang::Eng)` paths.
   *
@@ -31,11 +31,25 @@ object Stemmers {
       case "sv" | "swedish" | "svenska"      => swedish
       case "da" | "danish" | "dansk"         => danish
       case "ro" | "romanian" | "romana"      => romanian
+      case "fi" | "finnish" | "suomi"        => finnish
+      case "hu" | "hungarian" | "magyar"     => hungarian
+      case "tr" | "turkish" | "turkce"       => turkish
+      case "el" | "greek" | "ellinika"       => greek
+      case "ar" | "arabic"                   => arabic
+      case "ta" | "tamil"                    => tamil
       case _                                 => PorterStemmer.stem
     }
 
+  /** Index-format note: adding a language here changes tokenization for
+    * any corpus whose docs carry that language code — such indexes were
+    * previously built under the Porter fallback and need a REINDEX
+    * before old and new segments can merge byte-identically. Codes not
+    * listed (incl. programming languages) still fall back to Porter, so
+    * existing code-corpus indexes are unaffected (golden-fixture
+    * invariant). */
   val SupportedLanguages: Seq[String] =
-    Seq("en", "de", "fr", "es", "ru", "pt", "it", "nl", "sv", "da", "ro")
+    Seq("en", "de", "fr", "es", "ru", "pt", "it", "nl", "sv", "da", "ro",
+      "fi", "hu", "tr", "el", "ar", "ta")
 
   @inline private def isVowel(c: Char, vowels: String): Boolean =
     vowels.indexOf(c) >= 0
@@ -1214,6 +1228,537 @@ object Stemmers {
       if (last == w.charAt(w.length - 2) && !isVowel(last, DaVowels))
         w = w.dropRight(1)
     }
+    w
+  }
+
+  // --------------------------------------------------------------- Finnish
+
+  private val FiVowels = "aeiouyäö"
+  private val FiLongVowels =
+    Set("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+  /** Snowball Finnish (snowballstem.org/algorithms/finnish/stemmer.html):
+    * particles -> possessives -> case endings -> comparatives ->
+    * plurals -> tidy. */
+  def finnish(word0: String): String = {
+    if (word0 == null || word0.length < 2) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase
+    val r1 = regionAfterVC(w, 0, FiVowels)
+    val r2 = regionAfterVC(w, r1, FiVowels)
+    @inline def inR1(pos: Int) = pos >= r1
+    @inline def inR2(pos: Int) = pos >= r2
+    @inline def isV(c: Char) = isVowel(c, FiVowels)
+    def endsLV(s: String): Boolean =
+      s.length >= 2 && FiLongVowels.contains(s.substring(s.length - 2))
+
+    // step 1 (particles): kin/kaan/.../pä delete in R1 when preceded by
+    // n, t or a vowel; sti deletes in R2
+    var done1 = false
+    val it1 = Seq("kaan", "kään", "kin", "han", "hän", "ko", "kö", "pa", "pä").iterator
+    while (!done1 && it1.hasNext) {
+      val suf = it1.next()
+      val at = w.length - suf.length
+      if (w.endsWith(suf) && inR1(at) && at >= 1 &&
+          ("nt".indexOf(w.charAt(at - 1)) >= 0 || isV(w.charAt(at - 1)))) {
+        w = w.dropRight(suf.length); done1 = true
+      }
+    }
+    if (!done1 && w.endsWith("sti") && inR2(w.length - 3)) w = w.dropRight(3)
+
+    // step 2 (possessives), longest match in R1
+    if (w.endsWith("nsa") || w.endsWith("nsä") ||
+        w.endsWith("mme") || w.endsWith("nne")) {
+      if (inR1(w.length - 3)) w = w.dropRight(3)
+    } else if (w.endsWith("si")) {
+      if (inR1(w.length - 2) && (w.length < 3 || w.charAt(w.length - 3) != 'k'))
+        w = w.dropRight(2)
+    } else if (w.endsWith("ni")) {
+      if (inR1(w.length - 2)) {
+        w = w.dropRight(2)
+        if (w.endsWith("kse")) w = w.dropRight(1) + "i"
+      }
+    } else if (w.endsWith("an")) {
+      val pre = w.substring(0, w.length - 2)
+      if (inR1(w.length - 2) &&
+          Seq("ta", "ssa", "sta", "lla", "lta", "na").exists(pre.endsWith))
+        w = pre
+    } else if (w.endsWith("än")) {
+      val pre = w.substring(0, w.length - 2)
+      if (inR1(w.length - 2) &&
+          Seq("tä", "ssä", "stä", "llä", "ltä", "nä").exists(pre.endsWith))
+        w = pre
+    } else if (w.endsWith("en")) {
+      val pre = w.substring(0, w.length - 2)
+      if (inR1(w.length - 2) && Seq("lle", "ine").exists(pre.endsWith)) w = pre
+    }
+
+    // step 3 (case endings), longest match in R1; removal unlocks the
+    // i/j plural deletion of step 5
+    var caseEnded = false
+    var did3 = false
+    def del3(n: Int): Unit = { w = w.dropRight(n); caseEnded = true; did3 = true }
+    def precededByVi(cut: Int): Boolean = {
+      val pre = w.substring(0, w.length - cut)
+      pre.length >= 2 && pre.endsWith("i") && isV(pre.charAt(pre.length - 2))
+    }
+    if (w.endsWith("seen") && inR1(w.length - 4) &&
+        endsLV(w.substring(0, w.length - 4))) del3(4)
+    if (!did3 && (w.endsWith("siin") || w.endsWith("tten")) &&
+        inR1(w.length - 4) && precededByVi(4)) del3(4)
+    if (!did3) {
+      val hxn = Seq(("han", 'a'), ("hen", 'e'), ("hin", 'i'), ("hon", 'o'),
+        ("hun", 'u'), ("hyn", 'y'), ("hän", 'ä'), ("hön", 'ö'))
+      val ith = hxn.iterator
+      while (!did3 && ith.hasNext) {
+        val (suf, v) = ith.next()
+        val at = w.length - 3
+        if (w.endsWith(suf) && inR1(at) && at >= 1 && w.charAt(at - 1) == v)
+          del3(3)
+      }
+    }
+    if (!did3 && w.endsWith("den") && inR1(w.length - 3) && precededByVi(3))
+      del3(3)
+    if (!did3 && (w.endsWith("tta") || w.endsWith("ttä")) &&
+        inR1(w.length - 3) && w.length >= 4 && w.charAt(w.length - 4) == 'e')
+      del3(3)
+    if (!did3) {
+      val itc = Seq("ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä",
+        "lle", "ksi", "ine", "ta", "tä", "na", "nä").iterator
+      while (!did3 && itc.hasNext) {
+        val suf = itc.next()
+        if (w.endsWith(suf) && inR1(w.length - suf.length)) del3(suf.length)
+      }
+    }
+    if (!did3 && (w.endsWith("a") || w.endsWith("ä")) && inR1(w.length - 1) &&
+        w.length >= 3 && !isV(w.charAt(w.length - 3)) && isV(w.charAt(w.length - 2)))
+      del3(1) // preceded by consonant+vowel
+    if (!did3 && w.endsWith("n") && inR1(w.length - 1)) {
+      del3(1)
+      if (endsLV(w) || w.endsWith("ie")) w = w.dropRight(1)
+    }
+
+    // step 4 (other endings), longest match in R2; mp-family blocked
+    // after 'po'
+    var did4 = false
+    val it4a = Seq("impi", "impa", "impä", "immi", "imma", "immä",
+      "eja", "ejä").iterator
+    while (!did4 && it4a.hasNext) {
+      val suf = it4a.next()
+      if (w.endsWith(suf) && inR2(w.length - suf.length)) {
+        w = w.dropRight(suf.length); did4 = true
+      }
+    }
+    if (!did4) {
+      val it4b = Seq("mpi", "mpa", "mpä", "mmi", "mma", "mmä").iterator
+      while (!did4 && it4b.hasNext) {
+        val suf = it4b.next()
+        val at = w.length - suf.length
+        if (w.endsWith(suf) && inR2(at) &&
+            !(at >= 2 && w.substring(at - 2, at) == "po")) {
+          w = w.dropRight(suf.length); did4 = true
+        }
+      }
+    }
+
+    // step 5 (plurals): after a removed case ending, final i/j in R1
+    // deletes; otherwise final t in R1 after a vowel deletes (with the
+    // mma/imma clean-up in R2)
+    if (caseEnded) {
+      if ((w.endsWith("i") || w.endsWith("j")) && inR1(w.length - 1))
+        w = w.dropRight(1)
+    } else if (w.endsWith("t") && inR1(w.length - 1) &&
+               w.length >= 2 && isV(w.charAt(w.length - 2))) {
+      w = w.dropRight(1)
+      if (w.endsWith("imma") && inR2(w.length - 4)) w = w.dropRight(4)
+      else if (w.endsWith("mma") && inR2(w.length - 3) &&
+               !(w.length >= 5 && w.substring(w.length - 5, w.length - 3) == "po"))
+        w = w.dropRight(3)
+    }
+
+    // step 6 (tidy): long vowel in R1 shortens; cX (X in aäei) in R1
+    // drops X; oj/uj drop j; jo drops o; one consonant of a final
+    // double pair (possibly followed by vowels) goes
+    if (endsLV(w) && inR1(w.length - 1)) w = w.dropRight(1)
+    if (w.length >= 2 && inR1(w.length - 1) &&
+        "aäei".indexOf(w.charAt(w.length - 1)) >= 0 &&
+        !isV(w.charAt(w.length - 2))) w = w.dropRight(1)
+    if ((w.endsWith("oj") || w.endsWith("uj")) && inR1(w.length - 1))
+      w = w.dropRight(1)
+    if (w.endsWith("jo") && inR1(w.length - 1)) w = w.dropRight(1)
+    // trailing vowels may follow the double consonant pair
+    var i = w.length - 1
+    while (i >= 0 && isV(w.charAt(i))) i -= 1
+    if (i >= 1 && !isV(w.charAt(i)) && w.charAt(i) == w.charAt(i - 1))
+      w = w.substring(0, i) + w.substring(i + 1)
+    w
+  }
+
+  // -------------------------------------------------------------- Hungarian
+
+  private val HuVowels = "aáeéiíoóöőuúüű"
+  private val HuDigraphs = Seq("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+
+  /** Hungarian R1 (snowballstem.org/algorithms/hungarian/stemmer.html):
+    * after the first consonant-or-digraph when the word starts with a
+    * vowel, after the first vowel otherwise. */
+  private def huR1(w: String): Int = {
+    if (w.isEmpty) return 0
+    if (isVowel(w.charAt(0), HuVowels)) {
+      var i = 1
+      while (i < w.length) {
+        if (!isVowel(w.charAt(i), HuVowels)) {
+          val dg = HuDigraphs.find(d => w.startsWith(d, i))
+          return i + dg.map(_.length).getOrElse(1)
+        }
+        i += 1
+      }
+      w.length
+    } else {
+      var i = 1
+      while (i < w.length) {
+        if (isVowel(w.charAt(i), HuVowels)) return i + 1
+        i += 1
+      }
+      w.length
+    }
+  }
+
+  /** Snowball Hungarian: case endings, possessives and plurals removed
+    * in R1 with á->a / é->e restoration and double-consonant undoubling. */
+  def hungarian(word0: String): String = {
+    if (word0 == null || word0.length < 3) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase
+    val r1 = huR1(w)
+    @inline def inR1(pos: Int) = pos >= r1
+    def undouble(): Unit =
+      if (w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+          !isVowel(w.charAt(w.length - 1), HuVowels)) w = w.dropRight(1)
+    // after removing a suffix, a stem-final long á/é restores to a/e
+    def vEnd(): Unit =
+      if (w.endsWith("á")) w = w.dropRight(1) + "a"
+      else if (w.endsWith("é")) w = w.dropRight(1) + "e"
+    def dropIn(sufs: Seq[String]): Boolean = {
+      val it = sufs.iterator
+      while (it.hasNext) {
+        val suf = it.next()
+        if (w.endsWith(suf) && inR1(w.length - suf.length)) {
+          w = w.dropRight(suf.length); return true
+        }
+      }
+      false
+    }
+
+    // 1. instrumental (val/vel with assimilated v: double consonant +
+    // al/el) -> delete + undouble
+    if ((w.endsWith("al") || w.endsWith("el")) && inR1(w.length - 2) &&
+        w.length >= 4 && !isVowel(w.charAt(w.length - 3), HuVowels) &&
+        w.charAt(w.length - 3) == w.charAt(w.length - 4)) {
+      w = w.dropRight(2); undouble()
+    }
+    // 2. frequent cases (longest match), then á/é restoration
+    if (dropIn(Seq("képpen", "onként", "enként", "anként", "képp", "kor",
+        "ban", "ben", "nak", "nek", "val", "vel", "tól", "től", "ról", "ről",
+        "ból", "ből", "hoz", "hez", "höz", "nál", "nél", "ként", "ba", "be",
+        "ra", "re", "ig", "at", "et", "ot", "öt", "ért", "ul", "ül", "vá",
+        "vé", "on", "en", "ön", "n", "t"))) vEnd()
+    // 3. special noun cases: án/ánként -> a, én -> e (in R1)
+    if (w.endsWith("ánként") && inR1(w.length - 6)) w = w.dropRight(6) + "a"
+    else if (w.endsWith("án") && inR1(w.length - 2)) w = w.dropRight(2) + "a"
+    else if (w.endsWith("én") && inR1(w.length - 2)) w = w.dropRight(2) + "e"
+    // 4. -stul/-stül family
+    if (w.endsWith("ástul") && inR1(w.length - 5)) w = w.dropRight(5) + "a"
+    else if (w.endsWith("éstül") && inR1(w.length - 5)) w = w.dropRight(5) + "e"
+    else dropIn(Seq("astul", "estül", "stul", "stül"))
+    // 5. factive á/é after a double consonant -> delete + undouble
+    if ((w.endsWith("á") || w.endsWith("é")) && inR1(w.length - 1) &&
+        w.length >= 3 && !isVowel(w.charAt(w.length - 2), HuVowels) &&
+        w.charAt(w.length - 2) == w.charAt(w.length - 3)) {
+      w = w.dropRight(1); undouble()
+    }
+    // 6. owned (-é possessive-of family)
+    if (w.endsWith("áké") && inR1(w.length - 3)) w = w.dropRight(3) + "a"
+    else if (w.endsWith("éké") && inR1(w.length - 3)) w = w.dropRight(3) + "e"
+    else if (w.endsWith("áéi") && inR1(w.length - 3)) w = w.dropRight(3) + "a"
+    else if (w.endsWith("ééi") && inR1(w.length - 3)) w = w.dropRight(3) + "e"
+    else if (dropIn(Seq("oké", "öké", "aké", "eké", "ké", "éi", "é"))) vEnd()
+    // 7. singular owner suffixes
+    if (w.endsWith("ánk") && inR1(w.length - 3)) w = w.dropRight(3) + "a"
+    else if (w.endsWith("énk") && inR1(w.length - 3)) w = w.dropRight(3) + "e"
+    else if (w.endsWith("ám") && inR1(w.length - 2)) w = w.dropRight(2) + "a"
+    else if (w.endsWith("ém") && inR1(w.length - 2)) w = w.dropRight(2) + "e"
+    else if (w.endsWith("ád") && inR1(w.length - 2)) w = w.dropRight(2) + "a"
+    else if (w.endsWith("éd") && inR1(w.length - 2)) w = w.dropRight(2) + "e"
+    else if (w.endsWith("ája") && inR1(w.length - 3)) w = w.dropRight(3) + "a"
+    else if (w.endsWith("éje") && inR1(w.length - 3)) w = w.dropRight(3) + "e"
+    else if (dropIn(Seq("ünk", "unk", "juk", "jük", "nk", "uk", "ük",
+        "em", "om", "am", "od", "ed", "ad", "öd", "ja", "je", "m", "d",
+        "a", "e", "o"))) vEnd()
+    // 8. plural owner suffixes
+    if (w.endsWith("áim") && inR1(w.length - 3)) w = w.dropRight(3) + "a"
+    else if (w.endsWith("éim") && inR1(w.length - 3)) w = w.dropRight(3) + "e"
+    else if (w.endsWith("áid") && inR1(w.length - 3)) w = w.dropRight(3) + "a"
+    else if (w.endsWith("éid") && inR1(w.length - 3)) w = w.dropRight(3) + "e"
+    else if (w.endsWith("ái") && inR1(w.length - 2)) w = w.dropRight(2) + "a"
+    else if (w.endsWith("éi") && inR1(w.length - 2)) w = w.dropRight(2) + "e"
+    else if (dropIn(Seq("jaitok", "jeitek", "aitok", "eitek", "jaink",
+        "jeink", "aink", "eink", "itek", "jaim", "jeim", "jaid", "jeid",
+        "jaik", "jeik", "aim", "eim", "aid", "eid", "ink", "aik", "eik",
+        "jai", "jei", "ai", "ei", "im", "id", "ik", "i"))) vEnd()
+    // 9. plural: the whole lengthened-vowel suffix deletes (ák/ék as
+    // well as the short forms) so plurals land on the same stem as the
+    // bare-possessive-stripped singular (kutyák -> kuty == kutya ->
+    // kuty; the á->a restoration would leave the plural one vowel long)
+    dropIn(Seq("ák", "ék", "ök", "ok", "ek", "ak", "k"))
+    w
+  }
+
+  // ---------------------------------------------------------------- Turkish
+
+  private val TrVowels = "aeıioöuü"
+  private val TrBack = "aıou" // back vowels; front = eiöü
+
+  /** Last vowel of the stem preceding position `at` (or ' '). */
+  private def trLastVowel(w: String, at: Int): Char = {
+    var i = at - 1
+    while (i >= 0) {
+      if (TrVowels.indexOf(w.charAt(i)) >= 0) return w.charAt(i)
+      i -= 1
+    }
+    ' '
+  }
+
+  /** Turkish 2/4-way vowel harmony: the suffix vowel must agree with
+    * the last stem vowel (a/e follow backness; ı/i/u/ü follow backness
+    * AND roundedness — the Snowball check_vowel_harmony test). */
+  private def trHarmony(stemV: Char, sufV: Char): Boolean = {
+    if (stemV == ' ') return true // vowelless stem: accept
+    val back = TrBack.indexOf(stemV) >= 0
+    sufV match {
+      case 'a' => back
+      case 'e' => !back
+      case 'ı' => stemV == 'a' || stemV == 'ı'
+      case 'i' => stemV == 'e' || stemV == 'i'
+      case 'u' => stemV == 'o' || stemV == 'u'
+      case 'ü' => stemV == 'ö' || stemV == 'ü'
+      case _   => true
+    }
+  }
+
+  /** Snowball Turkish (snowballstem.org/algorithms/turkish/stemmer.html,
+    * Çilden's suffix-chain analysis): iteratively strip harmony-valid
+    * nominal suffixes (plural, possessive, case), then de-voice the
+    * stem-final consonant (b->p, c->ç, d->t, ğ->k) so mutated stems
+    * conflate with their citation forms (kitabı -> kitap == kitap). */
+  def turkish(word0: String): String = {
+    if (word0 == null || word0.length < 3) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase(java.util.Locale.forLanguageTag("tr"))
+    // suffix table: (suffix, index of its harmony-checked vowel, or -1)
+    // ordered longest-first inside each round
+    val sufs: Seq[String] = Seq(
+      "larımız", "lerimiz", "larınız", "leriniz",
+      "larım", "lerim", "ların", "lerin", "ları", "leri",
+      "ımız", "imiz", "umuz", "ümüz", "ınız", "iniz", "unuz", "ünüz",
+      "ından", "inden", "undan", "ünden", "ına", "ine", "una", "üne",
+      "ının", "inin", "unun", "ünün",
+      "lar", "ler", "dan", "den", "tan", "ten", "nın", "nin", "nun", "nün",
+      "da", "de", "ta", "te", "ım", "im", "um", "üm", "ın", "in", "un", "ün",
+      "sı", "si", "su", "sü", "yı", "yi", "yu", "yü", "ya", "ye",
+      "ı", "i", "u", "ü")
+    // possessive -(U)m after a vowel-final stem attaches as bare -m
+    // (araba-m); consonant-final stems take Um, covered above
+    def stripBareM(): Boolean =
+      if (w.length >= 4 && w.endsWith("m") &&
+          TrVowels.indexOf(w.charAt(w.length - 2)) >= 0 &&
+          w.substring(0, w.length - 1).exists(c => TrVowels.indexOf(c) >= 0)) {
+        w = w.dropRight(1); true
+      } else false
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 6) {
+      changed = false
+      rounds += 1
+      val it = sufs.iterator
+      while (!changed && it.hasNext) {
+        val suf = it.next()
+        val at = w.length - suf.length
+        // keep a real stem: >= 2 chars and at least one vowel
+        if (at >= 2 && w.endsWith(suf) &&
+            w.substring(0, at).exists(c => TrVowels.indexOf(c) >= 0)) {
+          val sufV = suf.find(c => TrVowels.indexOf(c) >= 0).getOrElse(' ')
+          if (trHarmony(trLastVowel(w, at), sufV)) {
+            w = w.substring(0, at); changed = true
+          }
+        }
+      }
+      if (!changed) changed = stripBareM()
+    }
+    // post-process: final voiced consonant de-voices back to citation form
+    if (w.nonEmpty) w.last match {
+      case 'b' => w = w.dropRight(1) + "p"
+      case 'c' => w = w.dropRight(1) + "ç"
+      case 'd' => w = w.dropRight(1) + "t"
+      case 'ğ' => w = w.dropRight(1) + "k"
+      case _   =>
+    }
+    w
+  }
+
+  // ----------------------------------------------------------------- Greek
+
+  private val GrDeaccent: Map[Char, Char] = Map(
+    'ά' -> 'α', 'έ' -> 'ε', 'ή' -> 'η', 'ί' -> 'ι', 'ό' -> 'ο',
+    'ύ' -> 'υ', 'ώ' -> 'ω', 'ϊ' -> 'ι', 'ϋ' -> 'υ', 'ΐ' -> 'ι',
+    'ΰ' -> 'υ', 'ς' -> 'σ')
+
+  /** Snowball Greek (snowballstem.org/algorithms/greek/stemmer.html,
+    * after Ntais' Mitos stemmer): lowercase + deaccent + final-sigma
+    * fold, then inflectional noun/adjective/verb endings removed
+    * longest-first with a minimum-stem guard (the published algorithm's
+    * rule families; exception lists omitted — mainline rules only). */
+  def greek(word0: String): String = {
+    if (word0 == null || word0.length < 3) return if (word0 == null) "" else word0
+    var w = word0.toLowerCase.map(c => GrDeaccent.getOrElse(c, c))
+    def hasVowelStem(at: Int): Boolean =
+      w.substring(0, at).exists(c => "αεηιουω".indexOf(c) >= 0)
+    // verb endings first (longest match), then noun/adjective case
+    // endings; each removal guarded by stem length >= 3 and a vowel in
+    // the remaining stem
+    val verb = Seq(
+      "ομασταν", "οσασταν", "ομαστε", "οσαστε",
+      "ιουνται", "ιουνταν", "ουνται", "ουνταν",
+      "ηθηκαμε", "ηθηκατε", "ηθηκαν", "ηθηκα", "ηθηκε",
+      "ομουνα", "οσουνα", "ομουν", "οσουν", "ονταν", "οταν",
+      "ονται", "εσαι", "εται", "ομαι",
+      "ουσαμε", "ουσατε", "ουσαν", "ουσα", "ουσε",
+      "ησαμε", "ησατε", "ησαν", "ησα", "ησε", "ησει",
+      "ουμε", "ειτε", "ουνε", "ουν", "αμε", "ατε", "ει")
+    val noun = Seq(
+      "εων", "εισ", "εσ", "ασ", "ησ", "οσ", "ουσ", "ου", "ων",
+      "οι", "αι", "α", "η", "ο", "ι", "ε", "ω")
+    var done = false
+    val itv = verb.iterator
+    while (!done && itv.hasNext) {
+      val suf = itv.next()
+      val at = w.length - suf.length
+      if (at >= 3 && w.endsWith(suf) && hasVowelStem(at)) {
+        w = w.substring(0, at); done = true
+      }
+    }
+    if (!done) {
+      val itn = noun.iterator
+      while (!done && itn.hasNext) {
+        val suf = itn.next()
+        val at = w.length - suf.length
+        if (at >= 3 && w.endsWith(suf) && hasVowelStem(at)) {
+          w = w.substring(0, at); done = true
+        }
+      }
+    }
+    w
+  }
+
+  // ---------------------------------------------------------------- Arabic
+
+  /** Snowball Arabic (snowballstem.org/algorithms/arabic/stemmer.html,
+    * Chelli's algorithm): orthographic normalization (diacritics,
+    * tatweel, hamza/alef forms, teh-marbuta/alef-maqsura), definite-
+    * article and conjunction prefixes, then pronoun/number/gender
+    * suffixes — each strip guarded by a minimum remaining stem. */
+  def arabic(word0: String): String = {
+    if (word0 == null || word0.isEmpty) return ""
+    // normalization: strip harakat + tatweel, fold hamza carriers
+    val sb = new StringBuilder
+    word0.foreach { c =>
+      val n = c match {
+        case 'ً' | 'ٌ' | 'ٍ' | 'َ' | 'ُ' |
+             'ِ' | 'ّ' | 'ْ' | 'ـ' => ' ' // harakat/tatweel
+        case 'أ' | 'إ' | 'آ' | 'ٱ' => 'ا'
+        case 'ى' => 'ي'
+        case other => other
+      }
+      if (n != ' ') sb.append(n)
+    }
+    var w = sb.toString
+    if (w.length < 3) return w
+    // prefixes: conjunction waw/fa + definite article family (longest
+    // first); remaining stem must keep >= 3 letters
+    val prefixes = Seq("وال", "فال", "بال", "كال", "ولل", "ال", "لل", "و")
+    var strippedPrefix = true
+    while (strippedPrefix) {
+      strippedPrefix = false
+      val it = prefixes.iterator
+      while (!strippedPrefix && it.hasNext) {
+        val p = it.next()
+        if (w.startsWith(p) && w.length - p.length >= 3) {
+          w = w.substring(p.length); strippedPrefix = true
+        }
+      }
+    }
+    // suffixes: attached pronouns, sound plurals, feminine markers
+    val suffixes = Seq("كما", "هما", "تما", "تان", "ات", "ون", "ين", "ان",
+      "تن", "كم", "هن", "هم", "وا", "ها", "نا", "ية", "ه", "ة", "ي", "ك", "ت")
+    var strippedSuffix = true
+    while (strippedSuffix) {
+      strippedSuffix = false
+      val it = suffixes.iterator
+      while (!strippedSuffix && it.hasNext) {
+        val s = it.next()
+        if (w.endsWith(s) && w.length - s.length >= 3) {
+          w = w.dropRight(s.length); strippedSuffix = true
+        }
+      }
+    }
+    w
+  }
+
+  // ----------------------------------------------------------------- Tamil
+
+  /** Snowball Tamil (snowballstem.org/algorithms/tamil/stemmer.html,
+    * Damodharan's algorithm): question/clitic suffix, plural (with the
+    * ம்<->ங் sandhi restoration), case endings, then common verb
+    * endings — guarded by a minimum remaining stem of two letters. */
+  private val TaVowelSigns = "ாிீுூெேைொோௌ"
+
+  def tamil(word0: String): String = {
+    if (word0 == null || word0.length < 4) return if (word0 == null) "" else word0
+    var w = word0
+    // a suffix that begins with a dependent vowel sign replaced the
+    // stem-final pulli (virama) when it attached (அவன் + ஐ = அவனை) —
+    // stripping it must restore the pulli so inflected forms conflate
+    // with the citation form
+    def strip(s: String): Boolean = {
+      val keep = w.length - s.length
+      if (w.endsWith(s) && keep >= 3) {
+        w = w.substring(0, keep)
+        if (TaVowelSigns.indexOf(s.charAt(0)) >= 0 && !w.endsWith("்"))
+          w = w + "்"
+        true
+      } else false
+    }
+    // question/emphatic clitics
+    Seq("ா", "ே", "ும்", "ோ").foreach { s =>
+      if (w.length >= 6) strip(s)
+    }
+    // case endings (longest first); the glide-joined locative யில்
+    // before the bare-vowel-sign forms
+    val cases = Seq("ிலிருந்து", "ுக்காக", "ுக்கு", "ுடைய", "ுடன்",
+      "யில்", "யை", "வை", "ோடு", "ிடம்", "ில்", "ால்", "ின்", "ை")
+    val itc = cases.iterator
+    var didCase = false
+    while (!didCase && itc.hasNext) didCase = strip(itc.next())
+    // plural கள் with sandhi: ...ங்கள் -> ...ம் (மரங்கள் -> மரம்);
+    // otherwise bare கள் deletes (வீடுகள் -> வீடு)
+    if (w.endsWith("ங்கள்") && w.length - 5 >= 2) w = w.dropRight(5) + "ம்"
+    else if (w.endsWith("க்கள்") && w.length - 5 >= 3) w = w.dropRight(5)
+    else if (w.endsWith("கள்") && w.length - 3 >= 3) w = w.dropRight(3)
+    // common finite-verb endings (longest first)
+    val verbs = Seq("கிறீர்கள்", "கிறார்கள்", "கிறேன்", "கிறாய்",
+      "கிறான்", "கிறாள்", "கிறது", "கிறோம்",
+      "ந்தேன்", "ந்தான்", "ந்தாள்", "ந்தது",
+      "வேன்", "வான்", "வாள்", "ட்டு")
+    val itv = verbs.iterator
+    var didVerb = false
+    while (!didVerb && itv.hasNext) didVerb = strip(itv.next())
     w
   }
 }

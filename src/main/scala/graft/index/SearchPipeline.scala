@@ -29,7 +29,8 @@ object SearchPipeline {
   final case class Config(slack: Int = 4,
                           coeffs: Map[String, Double] = Signals.DefaultCoefficients,
                           deRankSimilar: Boolean = true,
-                          snippetCfg: Snippets.Config = Snippets.Config())
+                          snippetCfg: Snippets.Config = Snippets.Config(),
+                          optic: Option[Optics.Optic] = None)
 
   /** `fetchTexts` is invoked ONCE, with only the k winning (repo, path)
     * keys, after the collector has picked the final page — the
@@ -67,7 +68,23 @@ object SearchPipeline {
           InvertedIndex.candidateBudget(k * cfg.slack), mode, minus)
         idx.rankSignalsOver(body, cands, k * cfg.slack, cfg.coeffs).toSeq
       } else idx.rankSignals(body, k * cfg.slack, cfg.coeffs).toSeq
-    if (ranked.isEmpty) return Nil
+    // optic stage (reference applies rule boosts inside the ranking
+    // computer, computer/mod.rs:471-496; here they rescale the k·slack
+    // candidate page before the collector — the same two-stage
+    // approximation as every rerank path: a discarded/downranked doc
+    // frees its slot for the next candidate within the slack)
+    val boosted: Seq[(Hit, Map[String, Double])] = cfg.optic match {
+      case Some(o) if !o.isEmpty =>
+        val score = Optics.scorer(o)
+        ranked.flatMap { case (h, sig) =>
+          score(h.repo, h.path).map { case (m, _) =>
+            (h.copy(score = (h.score * m).toFloat), sig)
+          }
+        }.sortBy(c => (-c._1.score, c._1.segment, c._1.docId))(
+          Ordering.Tuple3(Ordering.Float.TotalOrdering, Ordering.Int, Ordering.Int))
+      case _ => ranked
+    }
+    if (boosted.isEmpty) return Nil
 
     // stage 4: bucket dedup + simhash drain over the candidate page.
     // Simhashes resolve through a broadcast join on EXACTLY the k·slack
@@ -75,7 +92,7 @@ object SearchPipeline {
     // every file of any monorepo among the candidates (the scale
     // anti-pattern the fetchTexts doc below forbids).
     val simhashes: Map[(String, String), Long] =
-      idx.simhashOf(ranked.map(c => (c._1.repo, c._1.path)))
+      idx.simhashOf(boosted.map(c => (c._1.repo, c._1.path)))
     val coll = new BucketCollector[(Hit, Map[String, Double])](k,
       c => c._1.score.toDouble,
       c => DocHashes(
@@ -85,7 +102,7 @@ object SearchPipeline {
         IndexBuilder.fnv1a64("title:" +
           c._1.path.substring(c._1.path.lastIndexOf('/') + 1)),
         simhashes.getOrElse((c._1.repo, c._1.path), 0L)))
-    ranked.foreach(coll.insert)
+    boosted.foreach(coll.insert)
     val page = coll.sortedResults(cfg.deRankSimilar)
 
     // stage 5: snippets — one batch fetch of ONLY the winners' texts

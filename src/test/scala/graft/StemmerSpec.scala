@@ -163,6 +163,106 @@ class StemmerSpec extends AnyFunSuite {
     assert(romanian("carte") != romanian("munte"))
   }
 
+  test("finnish: case/particle/possessive conflation") {
+    import Stemmers.finnish
+    // one noun through seven cases lands on one stem
+    assert(finnish("kirja") == "kirj")
+    assert(Seq("kirjan", "kirjat", "kirjassa", "kirjasta", "kirjaan",
+      "kirjalla").map(finnish).toSet == Set("kirj"))
+    assert(Seq("talo", "talot", "talossa", "talosta", "taloon",
+      "taloissa").map(finnish).toSet == Set("talo"))
+    assert(finnish("talokin") == "talo")          // -kin particle
+    assert(finnish("ystäväni") == finnish("ystävä")) // possessive -ni
+    assert(finnish("sanoja") == finnish("sanoiksi")) // partitive/translative pl
+    assert(finnish("kirja") != finnish("talo"))
+  }
+
+  test("hungarian: case/possessive/plural conflation") {
+    import Stemmers.hungarian
+    assert(hungarian("ház") == "ház")
+    assert(Seq("házban", "házak", "házakban", "háznak", "házat", "háza",
+      "házam").map(hungarian).toSet == Set("ház"))
+    assert(Seq("könyvek", "könyvet", "könyvben", "könyveim")
+      .map(hungarian).toSet == Set("könyv"))
+    assert(hungarian("baráttal") == hungarian("barát")) // instrumental undouble
+    assert(hungarian("kutyák") == hungarian("kutya"))
+    assert(hungarian("városban") == "város")
+    assert(hungarian("ház") != hungarian("könyv"))
+  }
+
+  test("turkish: harmony-checked suffix chain + final devoicing") {
+    import Stemmers.turkish
+    assert(turkish("kitap") == "kitap")
+    // kitabı: accusative triggers p->b mutation; the de-voicing
+    // post-process folds the stem back to the citation form
+    assert(Seq("kitaplar", "kitabı", "kitapları", "kitaplarda")
+      .map(turkish).toSet == Set("kitap"))
+    assert(Seq("evler", "evlerden", "evde", "evim").map(turkish).toSet == Set("ev"))
+    assert(Seq("okullar", "okullarda", "okullarımız").map(turkish).toSet == Set("okul"))
+    assert(turkish("arabam") == turkish("arabalar")) // vowel-final stem + -m
+    assert(turkish("ağacı") == turkish("ağaç"))      // ç/c mutation
+    assert(turkish("gözlerin") == "göz")
+    // harmony blocks a front suffix on a back stem: "okuler" is not a
+    // valid segmentation, so a hypothetical form keeps its tail
+    assert(turkish("kitap") != turkish("ev"))
+  }
+
+  test("greek: deaccent + case/verb conflation") {
+    import Stemmers.greek
+    assert(Seq("καλός", "καλή", "καλό", "καλοί", "καλές")
+      .map(greek).toSet == Set("καλ"))
+    assert(Seq("βιβλίο", "βιβλία", "βιβλίου", "βιβλίων")
+      .map(greek).toSet == Set("βιβλι"))
+    assert(greek("θάλασσες") == greek("θάλασσα"))
+    assert(Seq("άνθρωπος", "άνθρωποι", "ανθρώπων")
+      .map(greek).toSet == Set("ανθρωπ"))
+    assert(Seq("παίζει", "παίζουν", "παίζουμε").map(greek).toSet == Set("παιζ"))
+    assert(greek("καλός") != greek("βιβλίο"))
+  }
+
+  test("arabic: normalization + affix stripping") {
+    import Stemmers.arabic
+    assert(Seq("كتاب", "الكتاب", "كتابها", "كتابهم", "والكتاب")
+      .map(arabic).toSet == Set("كتاب"))
+    // sound masculine plural + nisba/feminine
+    assert(Seq("مدرس", "المدرسون", "المدرسين", "مدرسة", "المدرسة")
+      .map(arabic).toSet == Set("مدرس"))
+    assert(arabic("المكتبات") == arabic("مكتبة"))
+    assert(arabic("الطالبات") == arabic("طالب"))
+    // diacritics normalize away
+    assert(arabic("كِتَاب") == arabic("كتاب"))
+    assert(arabic("كتاب") != arabic("مدرس"))
+  }
+
+  test("tamil: plural sandhi + case with pulli restoration") {
+    import Stemmers.tamil
+    assert(tamil("மரங்கள்") == tamil("மரம்"))      // ம்/ங் sandhi plural
+    assert(tamil("புத்தகங்கள்") == tamil("புத்தகம்"))
+    assert(tamil("வீடுகள்") == tamil("வீடு"))       // plain plural
+    assert(Seq("பள்ளிகள்", "பள்ளியில்").map(tamil).toSet == Set("பள்ளி"))
+    // accusative/comitative re-attach the pulli the vowel sign replaced
+    assert(tamil("அவனை") == tamil("அவன்"))
+    assert(tamil("அவனுடன்") == tamil("அவன்"))
+    assert(tamil("பாடுகிறேன்") == tamil("பாடுகிறான்"))
+    assert(tamil("மரம்") != tamil("வீடு"))
+  }
+
+  test("dispatch: all 16 reference languages route off the Porter fallback") {
+    // reference text_field.rs:296-311 dispatches these 15 + English
+    val langs = Seq("de", "fr", "es", "ru", "pt", "it", "nl", "sv", "da",
+      "ro", "fi", "hu", "tr", "el", "ar", "ta")
+    assert(Stemmers.SupportedLanguages.toSet == (langs.toSet + "en"))
+    // each language's stemmer differs from the Porter fallback on some
+    // common word of that language (i.e. the dispatch is real)
+    val witness = Map(
+      "fi" -> "kirjassa", "hu" -> "házban", "tr" -> "kitaplar",
+      "el" -> "καλός", "ar" -> "الكتاب", "ta" -> "மரங்கள்")
+    witness.foreach { case (lang, word) =>
+      assert(Stemmers.forLanguage(lang)(word) != graft.core.PorterStemmer.stem(word),
+        s"$lang dispatch is a Porter no-op on $word")
+    }
+  }
+
   test("index integration: German docs recall inflected forms via de query stemming") {
     val spark: SparkSession = SparkTestSession.spark
     import spark.implicits._
