@@ -496,6 +496,18 @@ object SparkEntry {
       val (hits, count, saturated) = idx.searchApprox("table row", 10, 50)
       Seq((hits.length.toLong, count, saturated)).toDF("hits", "count", "saturated")
     }),
+    "q_optics_pattern" -> ((s, d) => {
+      // token-level PatternQuery over the inverted index: position-0
+      // anchor + exact run alignment (phraseStarts) + ordered wildcard
+      // gaps. "|table * merge data" = docs whose first token is
+      // "table" that later contain "merge data" adjacently.
+      import s.implicits._
+      val idx = docIndex(s, d)
+      val m = idx.patternMatch(
+        graft.index.Optics.lexPattern("|table * merge data"))
+      val hits = idx.resolve(m.map { case (sg, dc) => (sg, dc, 0.0f) }, m.length)
+      hits.map(_.repo.toLong).sorted.toSeq.toDF("doc_id")
+    }),
     "q_optics" -> ((s, d) => {
       // optics DSL over doc metadata: anchored/wildcard patterns,
       // AND-groups, Boost/Downrank/Discard and host preferences; the
@@ -2097,6 +2109,20 @@ object SparkEntry {
     "q_rake" -> rakeOracleSql,
     "q_engine_approx" -> engineApproxOracleSql,
     "q_optics" -> opticsOracleSql,
+    "q_optics_pattern" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS term,
+        |         generate_subscripts(string_split(lower(text),' '),1) AS pos
+        |  FROM documents),
+        |tk AS (SELECT doc_id, term,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+        |       FROM tok0 WHERE term <> ''),
+        |r1 AS (SELECT doc_id FROM tk WHERE term = 'table' AND p = 0),
+        |r2 AS (SELECT a.doc_id, a.p FROM tk a
+        |       JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |       WHERE a.term = 'merge' AND b.term = 'data' AND a.p >= 1)
+        |SELECT DISTINCT r1.doc_id FROM r1 JOIN r2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_engine_dedup" -> engineDedupOracleSql,
     "q_pipeline" -> enginePipelineOracleSql,
     "q_engine_keyphrases" -> engineKeyPhrasesOracleSql,

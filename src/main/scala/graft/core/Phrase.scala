@@ -38,6 +38,32 @@ object Phrase {
     candidates.length
   }
 
+  /** Start positions where the exact token run aligns — phraseFreq's
+    * candidate fold returning the surviving start positions instead of
+    * their count (the building block of token-level pattern matching:
+    * each Raw run of a pattern aligns like a phrase, the wildcard
+    * ordering check then works over these starts). */
+  def phraseStarts(positions: Array[Array[Int]]): Array[Int] = {
+    var candidates = positions(0)
+    var k = 1
+    while (k < positions.length && candidates.length > 0) {
+      val next = positions(k)
+      val out = new Array[Int](math.min(candidates.length, next.length))
+      var n = 0
+      var i = 0
+      var j = 0
+      while (i < candidates.length && j < next.length) {
+        val want = candidates(i) + k
+        if (next(j) == want) { out(n) = candidates(i); n += 1; i += 1; j += 1 }
+        else if (next(j) < want) j += 1
+        else i += 1
+      }
+      candidates = java.util.Arrays.copyOf(out, n)
+      k += 1
+    }
+    candidates
+  }
+
   /** Sloppy phrase frequency, re-derived from the reference's slop
     * machinery (phrase_scorer.rs:145-190 two-term window,
     * :232-345 budget-carrying multi-term chain, :460-503 the left/right

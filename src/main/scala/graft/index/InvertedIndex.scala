@@ -277,6 +277,93 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     }
   }
 
+  /** Token-level pattern match (the reference's PatternQuery,
+    * crates/core/src/query/pattern_query/): each Raw run of the optic
+    * pattern aligns like an exact phrase (Phrase.phraseStarts over the
+    * positions index), `*` wildcards allow any token gap between
+    * consecutive runs (ordered, non-overlapping, greedy-earliest —
+    * equivalent for existence), and a leading `|` anchors the first
+    * run to position 0. End anchors are rejected at parse (the exact
+    * doc token count is only stored log-bucketed).
+    *
+    * Returns matching (segment, docId) pairs in (segment, docId)
+    * order. `candidates` restricts evaluation to those docs (the
+    * optics pipeline resolves each distinct Content matching against
+    * exactly the k·slack candidate page); `cap` bounds the standalone
+    * result. The walk is driven by the leapfrog intersection of ALL
+    * pattern terms, so positions decode only for docs containing
+    * every term. */
+  def patternMatch(parts: List[Optics.Part],
+                   candidates: Option[Set[(Int, Int)]] = None,
+                   cap: Int = 10000): Array[(Int, Int)] = {
+    // the position-0 anchor binds only when the first run follows the
+    // '|' directly — "|* foo" is anchored-then-wildcard, i.e. free
+    val anchored = parts match {
+      case Optics.Anchor :: Optics.Raw(_) :: _ => true
+      case _                                   => false
+    }
+    val runs: List[Seq[String]] = parts.collect {
+      case Optics.Raw(s) => Tokenizers.default(s).take(32).toSeq
+    }.filter(_.nonEmpty)
+    if (runs.isEmpty || stats.numDocs == 0) return Array.empty
+    val allTerms = runs.flatten.distinct
+    val bCand = candidates.map(c => spark.sparkContext.broadcast(c))
+
+    def segPass(seg: Int, plist: Array[PostingRow],
+                fnArrs: Map[Int, Array[Byte]]): Iterator[(Int, Int)] = {
+      val byTerm = plist.groupBy(_.term)
+      val dummy = new Bm25Weight(1.0f, 1.0f)
+      def cursor(t: String): Option[TermCursor] = byTerm.get(t).map { rows =>
+        val fnA = fnArrs(Fields.Content)
+        val sorted = rows.sortBy(_.shard)
+        if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, dummy)
+        else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, dummy)))
+      }
+      // one cursor per token OCCURRENCE (a term may repeat across runs)
+      val runCursors: List[Seq[TermCursor]] = runs.map(_.flatMap(t => cursor(t)))
+      if (runCursors.zip(runs).exists { case (cs, r) => cs.length != r.length })
+        return Iterator.empty // some pattern term absent from this segment
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      BlockWand.intersect(runCursors.flatten, (doc, _) => {
+        if (bCand.forall(_.value.contains((seg, doc)))) {
+          var minPos = 0
+          var okDoc = true
+          var first = true
+          runCursors.foreach { cs =>
+            if (okDoc) {
+              val pos = new Array[Array[Int]](cs.length)
+              var i = 0
+              while (i < cs.length) { pos(i) = cs(i).positions; i += 1 }
+              val starts = Phrase.phraseStarts(pos)
+              val at = starts.indexWhere(_ >= minPos)
+              if (at < 0 || (first && anchored && starts(at) != 0)) okDoc = false
+              else minPos = starts(at) + cs.length
+              first = false
+            }
+          }
+          if (okDoc) out += ((seg, doc))
+        }
+      })
+      out.iterator
+    }
+
+    val post = postings.filter($"term".isin(allTerms: _*))
+    val matched = (residentFnorms match {
+      case Some(bc) =>
+        post.groupByKey(_.segment).flatMapGroups { (seg, ps) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty else segPass(seg, plist, bc.value(seg))
+        }
+      case None =>
+        post.groupByKey(_.segment).cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
+          val plist = ps.toArray
+          if (plist.isEmpty) Iterator.empty
+          else segPass(seg, plist, assembleFnorms(fs))
+        }
+    }).collect()
+    matched.sortBy(identity).take(cap)
+  }
+
   /** Simhashes of a small candidate set, keyed by (repo, path) —
     * broadcast hash join on the tiny key side (the `resolve` pattern).
     * Only the candidate rows — join keys + simhash — ever reach the

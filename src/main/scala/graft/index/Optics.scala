@@ -39,12 +39,15 @@ object Optics {
   case object Wildcard extends Part
   case object Anchor extends Part
 
-  /** Match location over doc metadata. */
+  /** Match location: four metadata fields + the token-level Content
+    * location (evaluated against the inverted index's positions — the
+    * reference's PatternQuery, query/pattern_query/). */
   sealed trait Location
   case object Site extends Location
   case object Domain extends Location
   case object Url extends Location
   case object Title extends Location
+  case object Content extends Location
 
   final case class Matching(location: Location, pattern: List[Part]) {
     /** One regex string shared by the Column and driver forms. */
@@ -132,19 +135,26 @@ object Optics {
       val n = text.substring(i, j).toLong; i = j; n
     }
     def location(name: String): Location = name match {
-      case "Site"   => Site
-      case "Domain" => Domain
-      case "Url"    => Url
-      case "Title"  => Title
-      case "Content" | "Description" | "MicroformatTag" | "Schema" =>
-        err(s"$name patterns need the token-level PatternQuery " +
-          "(scoped out, SURVEY §7.3) — supported: Site/Domain/Url/Title")
+      case "Site"    => Site
+      case "Domain"  => Domain
+      case "Url"     => Url
+      case "Title"   => Title
+      case "Content" => Content
+      case "Description" | "MicroformatTag" | "Schema" =>
+        err(s"$name has no analog in the code-corpus doc model " +
+          "(scoped, SURVEY §7.3) — supported: Site/Domain/Url/Title/Content")
       case other => err(s"unknown match location $other")
     }
     def matching(): Matching = {
       val loc = location(ident())
       expect('('); val pat = quoted(); expect(')')
-      Matching(loc, lexPattern(pat))
+      val parts = lexPattern(pat)
+      if (loc == Content && parts.length >= 2 && parts.last == Anchor)
+        err("Content end-anchors need the exact doc token count, which " +
+          "the index stores only log-bucketed (fieldnorm) — unsupported")
+      if (loc == Content && parts.forall(p => p == Anchor || p == Wildcard))
+        err("Content pattern needs at least one literal token run")
+      Matching(loc, parts)
     }
     def matchGroup(): List[Matching] = {
       expect('{')
@@ -272,43 +282,62 @@ object Optics {
       case Domain => val s = repo.indexOf('/'); if (s < 0) repo else repo.substring(0, s)
       case Url    => repo + "/" + path
       case Title  => path.substring(path.lastIndexOf('/') + 1)
+      case Content =>
+        throw new IllegalStateException("Content matchings need contentOk")
     }
+
+  /** The token-level matchings of an optic (need index evaluation). */
+  def contentMatchings(optic: Optic): List[Matching] =
+    optic.rules.flatMap(_.matches.flatten).filter(_.location == Content).distinct
 
   /** Driver-side scorer for the serving pipeline's candidate page:
     * (multiplier, matchedAnyRule); None = discarded (a Discard rule
-    * fired, or DiscardNonMatching and nothing matched). Patterns are
-    * pre-compiled once per optic. */
-  def scorer(optic: Optic): (String, String) => Option[(Double, Boolean)] = {
-    val compiled: List[(Rule, List[List[(Location, java.util.regex.Pattern)]])] =
+    * fired, or DiscardNonMatching and nothing matched). Metadata
+    * patterns are pre-compiled once per optic; Content matchings
+    * delegate to `contentOk` — the pipeline pre-resolves them against
+    * the index for exactly the candidate page (one distributed pattern
+    * pass per distinct Content matching, InvertedIndex.patternMatch). */
+  def scorer(optic: Optic,
+             contentOk: (Matching, Hit) => Boolean = (m, _) =>
+               throw new IllegalArgumentException(
+                 s"optic has token-level matching $m but no content evaluator"))
+      : Hit => Option[(Double, Boolean)] = {
+    val compiled: List[(Rule, List[List[(Matching, java.util.regex.Pattern)]])] =
       optic.rules.map { r =>
         r -> r.matches.map(_.map(m =>
-          (m.location, java.util.regex.Pattern.compile(m.regex))))
+          (m, if (m.location == Content) null
+              else java.util.regex.Pattern.compile(m.regex))))
       }
-    (repo, path) => {
+    h => {
       val fired = compiled.collect {
-        case (rule, groups) if groups.exists(_.forall { case (loc, p) =>
-          p.matcher(fieldOf(loc, repo, path)).matches()
+        case (rule, groups) if groups.exists(_.forall { case (m, p) =>
+          if (m.location == Content) contentOk(m, h)
+          else p.matcher(fieldOf(m.location, h.repo, h.path)).matches()
         }) => rule.action
       }
       multiplier(fired) match {
         case None => None
-        case Some(m) =>
+        case Some(mult) =>
           if (optic.discardNonMatching && fired.isEmpty) None
-          else Some((m, fired.nonEmpty))
+          else Some((mult, fired.nonEmpty))
       }
     }
   }
 
   /** Distributed Column form: (multiplier, discard) over metadata
     * columns — plain regexp_like trees, codegen'd, no UDF, and the
-    * regex strings are the exact ones a SQL oracle can reuse. */
+    * regex strings are the exact ones a SQL oracle can reuse. Rejects
+    * Content matchings (those need the index; use the pipeline path). */
   def columns(optic: Optic, site: Column, domain: Column, url: Column,
               title: Column): (Column, Column) = {
+    require(contentMatchings(optic).isEmpty,
+      "Content matchings need index evaluation — use SearchPipeline's optic")
     def colOf(loc: Location): Column = loc match {
       case Site => site
       case Domain => domain
       case Url => url
       case Title => title
+      case Content => throw new IllegalStateException("unreachable")
     }
     def ruleMatch(r: Rule): Column =
       r.matches.map(_.map(m => regexp_like(colOf(m.location), lit(m.regex)))

@@ -75,9 +75,18 @@ object SearchPipeline {
     // frees its slot for the next candidate within the slack)
     val boosted: Seq[(Hit, Map[String, Double])] = cfg.optic match {
       case Some(o) if !o.isEmpty =>
-        val score = Optics.scorer(o)
+        // each distinct token-level Content matching resolves in ONE
+        // distributed pattern pass restricted to the candidate page
+        val contentSets: Map[Optics.Matching, Set[(Int, Int)]] = {
+          val cands = ranked.map(c => (c._1.segment, c._1.docId)).toSet
+          Optics.contentMatchings(o)
+            .map(m => m -> idx.patternMatch(m.pattern, Some(cands)).toSet)
+            .toMap
+        }
+        val score = Optics.scorer(o,
+          (m, h) => contentSets(m)((h.segment, h.docId)))
         ranked.flatMap { case (h, sig) =>
-          score(h.repo, h.path).map { case (m, _) =>
+          score(h).map { case (m, _) =>
             (h.copy(score = (h.score * m).toFloat), sig)
           }
         }.sortBy(c => (-c._1.score, c._1.segment, c._1.docId))(

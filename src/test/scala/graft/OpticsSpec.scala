@@ -35,9 +35,17 @@ class OpticsSpec extends AnyFunSuite {
     assert(o.rules.head.action == Boost(0)) // reference lib.rs:130
   }
 
-  test("parser rejects token-level locations loudly") {
-    intercept[Optics.ParseError] {
-      Optics.parse("""Rule { Matches { Content("foo") }, Action(Discard) }""")
+  test("parser: Content accepted; no-analog locations and end anchors rejected") {
+    val o = Optics.parse("""Rule { Matches { Content("foo * bar") }, Action(Boost(1)) }""")
+    assert(Optics.contentMatchings(o).length == 1)
+    intercept[Optics.ParseError] { // no code-corpus analog
+      Optics.parse("""Rule { Matches { Schema("Recipe") }, Action(Discard) }""")
+    }
+    intercept[Optics.ParseError] { // end anchor needs exact doc length
+      Optics.parse("""Rule { Matches { Content("foo|") }, Action(Discard) }""")
+    }
+    intercept[Optics.ParseError] { // no literal run
+      Optics.parse("""Rule { Matches { Content("*") }, Action(Discard) }""")
     }
   }
 
@@ -72,9 +80,64 @@ class OpticsSpec extends AnyFunSuite {
         |Rule { Matches { Site("|org001*") }, Action(Boost(2)) };
         |Rule { Matches { Title("*.rs|") }, Action(Discard) }""".stripMargin)
     val score = Optics.scorer(o)
-    assert(score("org001/repo1", "src/a.scala").contains((3.0, true)))
-    assert(score("org001/repo1", "src/a.rs").isEmpty)      // discard rule
-    assert(score("org999/repo9", "src/a.scala").isEmpty)   // non-matching
+    def hit(repo: String, path: String) =
+      graft.index.Hit(1, 0, 0, 1.0f, repo, path)
+    assert(score(hit("org001/repo1", "src/a.scala")).contains((3.0, true)))
+    assert(score(hit("org001/repo1", "src/a.rs")).isEmpty)    // discard rule
+    assert(score(hit("org999/repo9", "src/a.scala")).isEmpty) // non-matching
+  }
+
+  test("patternMatch: adjacency, wildcards, position-0 anchor") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      graft.index.SourceDoc("r1", "a.md", "c", "en", "alpha beta gamma delta"),
+      graft.index.SourceDoc("r2", "b.md", "c", "en", "alpha gamma beta delta"),
+      graft.index.SourceDoc("r3", "c.md", "c", "en", "beta alpha beta gamma"),
+      graft.index.SourceDoc("r4", "d.md", "c", "en", "gamma delta"))
+    val dir = java.nio.file.Files.createTempDirectory("graftpat").toString
+    graft.index.IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      graft.index.IndexBuilder.Config(numSegments = 2))
+    val idx = new graft.index.InvertedIndex(spark, dir)
+    def repos(pat: String): Set[String] = {
+      val m = idx.patternMatch(Optics.lexPattern(pat))
+      idx.resolve(m.map { case (s, d) => (s, d, 0.0f) }, m.length)
+        .map(_.repo).toSet
+    }
+    assert(repos("alpha beta") == Set("r1", "r3"))     // adjacent run
+    assert(repos("gamma delta") == Set("r1", "r4"))    // not r2 (gap)
+    assert(repos("alpha * delta") == Set("r1", "r2"))  // ordered w/ gap
+    assert(repos("beta * alpha") == Set("r3"))         // order matters
+    assert(repos("|alpha beta") == Set("r1"))          // pos-0 anchor
+    assert(repos("|beta") == Set("r3"))
+    assert(repos("delta * alpha") == Set.empty)
+    // candidate restriction evaluates only the given docs
+    val all = idx.patternMatch(Optics.lexPattern("alpha"))
+    val one = all.take(1).toSet
+    assert(idx.patternMatch(Optics.lexPattern("alpha"), Some(one)).toSet == one)
+  }
+
+  test("pipeline integration: Content rule boosts docs matching the pattern") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      graft.index.SourceDoc("r1", "a.md", "c", "en",
+        "data table merge engine " * 5),
+      graft.index.SourceDoc("r2", "b.md", "c", "en",
+        "data stream table sink pipeline " * 5),
+      graft.index.SourceDoc("r3", "c.md", "c", "en",
+        "table data write merge reader " * 5))
+    val dir = java.nio.file.Files.createTempDirectory("graftpat2").toString
+    graft.index.IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      graft.index.IndexBuilder.Config(numSegments = 2, indexStemmed = true,
+        indexBigrams = true, computeSimhash = true))
+    val idx = new graft.index.InvertedIndex(spark, dir)
+    // "data table" adjacent occurs only in r1; boost it above the rest
+    val res = graft.index.SearchPipeline.run(idx, "table data", 3,
+      cfg = graft.index.SearchPipeline.Config(optic = Some(Optics.parse(
+        """Rule { Matches { Content("data table merge") }, Action(Boost(50)) }"""))))
+    assert(res.nonEmpty)
+    assert(res.head.repo == "r1", res.map(_.repo).toString)
   }
 
   test("pipeline integration: boost reorders, discard removes") {
