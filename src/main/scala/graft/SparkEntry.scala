@@ -371,6 +371,27 @@ object SparkEntry {
           round(stop.cast("double") / size(tk), 4).as("en_score"))
         .orderBy("doc_id")
     }),
+    "q_langid_multi" -> ((s, d) => {
+      // multi-language ID: per-language stopword-hit counts (integer
+      // evidence columns — no float ratios), CJK char channel for
+      // unsegmented script, argmax prediction with alphabetical
+      // tie-break. All codegen'd column expressions.
+      val ev = TextOps.langHits(col("text"))
+      t(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id") +: ev.map { case (n, c) => c.as(n) } :+
+          TextOps.langPredict(col("text")).as("predicted"): _*)
+        .orderBy("doc_id")
+    }),
+    "q_token_count" -> ((s, d) => {
+      // LLM token budgeting: whitespace count + the BPE-ish
+      // pre-tokenizer chunk count (GPT-2 pre-split shape, lookahead-free
+      // so the SQL oracle counts identically)
+      t(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
     "q_embed_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding")
@@ -1220,6 +1241,42 @@ object SparkEntry {
        |          CAST(row_number() OVER (PARTITION BY seg
        |               ORDER BY sortkey DESC, repo, path) AS INT) - 1 AS docid
        |        FROM sk2)""".stripMargin
+
+  /** q_langid_multi oracle — generated from TextOps.StopwordsByLang so
+    * the evidence lists can never drift from the Spark face. Integer
+    * hit counts only; the predicted language replicates the argmax
+    * with the alphabetical-first tie-break as a first-wins >= chain,
+    * and the zh channel as integer cross-multiplication. */
+  private def langidMultiOracleSql: String = {
+    val langs = TextOps.StopwordsByLang.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, t -> t IN ($lst))) AS ${lang}_hits"
+    }.mkString(",\n  ")
+    val names = langs.map(_._1)
+    def chain(i: Int): String =
+      if (i == names.length - 1) s"'${names(i)}'"
+      else {
+        val conds = (i + 1 until names.length)
+          .map(j => s"${names(i)}_hits >= ${names(j)}_hits").mkString(" AND ")
+        s"CASE WHEN $conds THEN '${names(i)}' ELSE ${chain(i + 1)} END"
+      }
+    val hitNames = names.map(n => s"${n}_hits").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks,
+       |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fa5}]', '', 'g'))
+       |      AS cjk_chars,
+       |    length(text) AS tlen
+       |  FROM documents WHERE doc_id < 200),
+       |e AS (SELECT doc_id,
+       |  $hitCols,
+       |  cjk_chars, len(toks) AS n_tokens, tlen FROM b)
+       |SELECT doc_id, $hitNames, cjk_chars, n_tokens,
+       |  CASE WHEN cjk_chars * 5 >= tlen THEN 'zh' ELSE ${chain(0)} END
+       |    AS predicted
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
 
   /** The q_optics face's optic: exercises end-anchored and wildcard
     * patterns, an AND match group, all three actions and both host
@@ -2108,6 +2165,14 @@ object SparkEntry {
     "q_engine_signals" -> engineSignalsOracleSql,
     "q_rake" -> rakeOracleSql,
     "q_engine_approx" -> engineApproxOracleSql,
+    "q_langid_multi" -> langidMultiOracleSql,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+         |    AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '${TextOps.BpeChunkPattern}'))
+         |    AS bpe_tokens
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q_optics" -> opticsOracleSql,
     "q_optics_pattern" ->
       """WITH tok0 AS (

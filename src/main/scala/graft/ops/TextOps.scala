@@ -40,6 +40,68 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
 
+  /** BPE-ish pre-tokenizer chunk pattern (the GPT-2 pre-split shape
+    * without lookaheads, so Java regex and RE2-style engines count
+    * identically): a chunk is an optional leading space followed by a
+    * letter run, a digit run, or a non-alnum-non-space punctuation
+    * run. LLM token budgeting estimates tokens as chunks (each BPE
+    * token is a piece of exactly one pre-split chunk; the chunk count
+    * is the lower bound and the usual corpus-budget proxy). */
+  final val BpeChunkPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Chunk count of the BPE-ish pre-tokenizer over the lowercased
+    * text — the token-budget column beside the whitespace count. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeChunkPattern), lit(0)))
+
+  /** Per-language stopword tables for the language-ID heuristic
+    * (function-word hit ratio — the classic n-gram/stopword profile
+    * approach; sets kept small and high-frequency on purpose). */
+  val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> EnglishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "mit", "von", "für", "auf", "den", "dem", "im", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "du", "des",
+      "pour", "dans", "que", "qui", "sur", "pas", "au", "ne"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "del", "para",
+      "en", "que", "no", "por", "con", "se", "su", "lo"))
+
+  /** CJK character count (Chinese detection channel: stopword lists
+    * don't apply to an unsegmented script). Integer, so every
+    * downstream comparison stays exact across engines. */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fa5}]", ""))
+
+  /** Language-ID evidence: one integer stopword-hit-count column per
+    * language plus the CJK char count and the token count — integer
+    * columns only (a ratio column would reintroduce the
+    * round(double) half-tie hazard the float invariants forbid). */
+  def langHits(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      s"${lang}_hits" -> size(filter(toks, t => t.isin(words: _*)))
+    } ++ Seq("cjk_chars" -> cjkCount(text), "n_tokens" -> size(toks))
+  }
+
+  /** Predicted language: "zh" when CJK chars clear cjkNum/cjkDen of
+    * the text length (integer cross-multiplication, no division),
+    * otherwise the argmax stopword-hit count with ties to the
+    * alphabetically-first language (greatest over (hits, -rank)
+    * structs, the ivfCell pattern — pure codegen'd expressions). */
+  def langPredict(text: Column, cjkNum: Int = 1, cjkDen: Int = 5): Column = {
+    val langs = StopwordsByLang.keys.toSeq.sorted
+    val hits = langHits(text).toMap
+    val structs = langs.zipWithIndex.map { case (lang, i) =>
+      struct(hits(s"${lang}_hits").as("s"), lit(-i).as("nid"))
+    }
+    val bestIdx = greatest(structs: _*).getField("nid") * -1
+    val byIdx = langs.zipWithIndex.foldLeft(lit(langs.head)) {
+      case (acc, (lang, i)) => when(bestIdx === i, lit(lang)).otherwise(acc)
+    }
+    when(cjkCount(text) * cjkDen >= length(text) * cjkNum, lit("zh"))
+      .otherwise(byIdx)
+  }
+
   /** n-token shingles via posexplode-free column ops: transform over
     * index range. Docs with fewer than n tokens yield an empty array
     * (sequence(1, count<=0) would produce a descending range whose

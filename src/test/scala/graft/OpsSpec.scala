@@ -165,6 +165,30 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 9L) // 3 probes x top-3, opt-in exhaustive
   }
 
+  test("bpe-ish token count and multi-language ID heuristics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),          // 5 ws = 5 bpe chunks
+      (2L, "hello, world! v2.0"),                 // punct + digit runs split
+      (3L, "der hund und die katze sind nicht da"),
+      (4L, "le chat est sur la table dans le jardin"),
+      (5L, "el perro y el gato no son para mi"),
+      (6L, "一个中文文档的内容测试一二三四五六七八九十")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("ws"),
+        TextOps.bpeTokenCount(col("text")).as("bpe"),
+        TextOps.langPredict(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1) == ((5, 5, "en")))
+    // "hello, world! v2.0" -> hello | , | world | ! | v | 2 | . | 0 = 8 chunks
+    assert(out(2)._1 == 3 && out(2)._2 == 8)
+    assert(out(3)._3 == "de")
+    assert(out(4)._3 == "fr")
+    assert(out(5)._3 == "es")
+    assert(out(6)._3 == "zh") // CJK channel, stopwords never fire
+  }
+
   test("multimodal plumbing: schema, determinism, frame sampling") {
     import spark.implicits._
     val media = Multimodal.synthesize(spark, docs.limit(50), "doc_id", "text")
