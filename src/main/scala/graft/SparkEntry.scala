@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{Corpus, IndexBuilder, InvertedIndex, SourceDoc}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Centrality => CentralityOps}
 
 /** Driver contract — one `queries` entry per operator family from
   * SURVEY.md §2 (+ the training-data ops), each with an ANSI-SQL DuckDB
@@ -185,6 +186,29 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .orderBy("lang", "rn")
+    }),
+    "q_centrality" -> ((s, d) => {
+      // exact harmonic centrality (the reference's AMPC webgraph job)
+      // over the deterministic derived graph; the score is an INTEGER
+      // (sum of lcm/d) so no float-summation order exists to mismatch
+      CentralityOps.harmonicExact(s, centralityEdges(s, d), maxDepth = 4)
+        .orderBy("node")
+    }),
+    "q_centrality_hll" -> ((s, d) => {
+      // HyperBall sketch face: like the HLL vocab face, the
+      // cross-engine-checkable contract is the ERROR BOUND — exact
+      // integer score + a per-node within-bound flag of the sketch
+      // estimate against it; the oracle recomputes the exact side and
+      // asserts the flag, so sketch drift fails the hash loudly
+      val edges = centralityEdges(s, d).cache()
+      val exact = CentralityOps.harmonicExact(s, edges, maxDepth = 4)
+      val est = CentralityOps.harmonicHyperBall(s, edges, maxDepth = 4)
+        .select(col("node"), col("harmonic"))
+      exact.join(est, "node")
+        .select(col("node"), col("h"),
+          (abs(col("harmonic") * 12.0 - col("h").cast("double")) <=
+            col("h").cast("double") * 0.15 + lit(12.0)).as("within_bound"))
+        .orderBy("node")
     }),
     "q_count_distinct_hll" -> ((s, d) => {
       // HyperLogLog sketch face. The raw estimate is Spark-internal
@@ -1242,6 +1266,39 @@ object SparkEntry {
        |               ORDER BY sortkey DESC, repo, path) AS INT) - 1 AS docid
        |        FROM sk2)""".stripMargin
 
+  /** The centrality faces' graph, derived DETERMINISTICALLY from the
+    * constant doc_id < 500 node set (identical at every SF): three
+    * affine out-edges per node. Data-independent on purpose — the
+    * corpus carries no link structure, so the graph exists to exercise
+    * the operator with a SQL-re-derivable shape. */
+  private def centralityEdges(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "documents").where(col("doc_id") < 500)
+      .select(col("doc_id").as("src"))
+    Seq((7L, 3L), (13L, 11L), (29L, 17L)).map { case (a, b) =>
+      n.select(col("src"), ((col("src") * a + b) % 500).as("dst"))
+    }.reduce(_ union _).where(col("src") =!= col("dst"))
+  }
+
+  /** q_centrality oracle: recursive-CTE BFS over the same derived
+    * graph; shortest distance = min depth per (target, source) pair;
+    * score = Σ 12/d (integer division is exact for d ≤ 4). */
+  private def centralityOracleSql: String =
+    """WITH RECURSIVE n AS (SELECT doc_id AS v FROM documents WHERE doc_id < 500),
+      |e AS (
+      |  SELECT v AS src, (v * 7 + 3) % 500 AS dst FROM n
+      |  UNION SELECT v, (v * 13 + 11) % 500 FROM n
+      |  UNION SELECT v, (v * 29 + 17) % 500 FROM n),
+      |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+      |bfs(v, u, d) AS (
+      |  SELECT v, v, 0 FROM n
+      |  UNION
+      |  SELECT b.v, e2.src, b.d + 1 FROM bfs b
+      |  JOIN e2 ON e2.dst = b.u WHERE b.d < 4),
+      |sp AS (SELECT v, u, min(d) AS d FROM bfs GROUP BY 1, 2)
+      |SELECT v AS node,
+      |       CAST(sum(CASE WHEN d > 0 THEN 12 // d ELSE 0 END) AS BIGINT) AS h
+      |FROM sp GROUP BY 1 ORDER BY node""".stripMargin
+
   /** q_langid_multi oracle — generated from TextOps.StopwordsByLang so
     * the evidence lists can never drift from the Spark face. Integer
     * hit counts only; the predicted language replicates the argmax
@@ -2165,6 +2222,13 @@ object SparkEntry {
     "q_engine_signals" -> engineSignalsOracleSql,
     "q_rake" -> rakeOracleSql,
     "q_engine_approx" -> engineApproxOracleSql,
+    "q_centrality" -> centralityOracleSql,
+    // exact side + asserted flag (sketch drift flips it in Spark only,
+    // failing the hash loudly — the HLL-vocab-face contract)
+    "q_centrality_hll" ->
+      s"""SELECT node, h, TRUE AS within_bound FROM (
+         |${centralityOracleSql.replace("ORDER BY node", "")}
+         |) ORDER BY node""".stripMargin,
     "q_langid_multi" -> langidMultiOracleSql,
     "q_token_count" ->
       s"""SELECT doc_id,

@@ -64,7 +64,18 @@ object IndexBuilder {
         * key_phrases shadow field (reference text_field.rs:1650-1688
         * newline-tokenizes webpage.keywords), so TopKeyPhrases serves
         * from the stored term dictionary instead of re-running RAKE. */
-      indexKeyPhrases: Boolean = false)
+      indexKeyPhrases: Boolean = false,
+      /** Optional per-repo centrality scores (e.g. the output of
+        * ops.Centrality.harmonicExact over a repo dependency graph),
+        * broadcast into docid assignment: scored repos sort by
+        * centrality (desc) with the fnv proxy as the within-repo
+        * tie-break, so high-centrality repos get the SMALL docids the
+        * ShortCircuit/static-rank machinery exploits — the Spark
+        * analog of the reference's speedy-kv host-centrality lookup
+        * feeding its precomputed score (ranking/computer/mod.rs:499-509).
+        * Empty (default) = the deterministic fnv proxy, byte-identical
+        * to every index built before this knob existed. */
+      centrality: Map[String, Long] = Map.empty)
 
   final case class BuildReport(numDocs: Long, numTokens: Long,
                                segmentsBuilt: Int, segmentsSkipped: Int,
@@ -388,8 +399,16 @@ object IndexBuilder {
     new java.io.File(manifestDir(outDir)).mkdirs()
     val S = cfg.numSegments
 
+    val bCent = spark.sparkContext.broadcast(cfg.centrality)
     val tagged = input.map { d =>
-      Tagged(segmentOf(d.repo, d.path, S), sortKeyOf(d.repo, d.path, d.commit),
+      val base = sortKeyOf(d.repo, d.path, d.commit)
+      // centrality occupies the high bits, the fnv proxy's top 40 the
+      // low bits (within-repo tie-break); un-scored repos keep only the
+      // low bits and therefore sort below any repo with centrality >= 1
+      val key =
+        if (bCent.value.isEmpty) base
+        else (bCent.value.getOrElse(d.repo, 0L) << 40) | (base >>> 24)
+      Tagged(segmentOf(d.repo, d.path, S), key,
         d.repo, d.path, d.commit, d.lang, d.content, d.props)
     }
 

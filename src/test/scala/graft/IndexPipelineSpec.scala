@@ -210,6 +210,30 @@ class IndexPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("centrality store steers docid assignment (speedy-kv analog)") {
+    import spark.implicits._
+    val corpus = Corpus.generate(spark, 300, seed = 13L).cache()
+    val favourite = corpus.map(_.repo).distinct().collect().sorted.head
+    val d = tmpDir()
+    IndexBuilder.build(spark, corpus, d,
+      IndexBuilder.Config(numSegments = 4,
+        centrality = Map(favourite -> 5L)))
+    val idx = new InvertedIndex(spark, d)
+    // within every segment, the scored repo's docs occupy the SMALLEST
+    // docids (docids are assigned in sortKey-descending order and the
+    // centrality key dominates the fnv tie-break bits)
+    val rows = idx.docs.map(r => (r.segment, r.docId, r.repo)).collect()
+    rows.groupBy(_._1).foreach { case (_, seg) =>
+      val fav = seg.filter(_._3 == favourite).map(_._2)
+      val rest = seg.filter(_._3 != favourite).map(_._2)
+      if (fav.nonEmpty && rest.nonEmpty)
+        assert(fav.max < rest.min,
+          s"favourite docids $fav not all below ${rest.min}")
+    }
+    // default (empty map) stays byte-identical to the fnv proxy path:
+    // golden fixtures elsewhere pin that invariant
+  }
+
   test("determinism: same index at different parallelism") {
     val d3 = tmpDir()
     val corpus2 = Corpus.generate(spark, 800, seed = 42L, partitions = 3)

@@ -165,6 +165,37 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 9L) // 3 probes x top-3, opt-in exhaustive
   }
 
+  test("harmonic centrality: exact BFS on a hand graph; HyperBall tracks it") {
+    import spark.implicits._
+    // path a(1) -> b(2) -> c(3) plus 4 -> 3: h12(3) = 12/1 + 12/1 + 12/2 = 30
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val exact = Centrality.harmonicExact(spark, edges, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact(1L) == 0L)          // nothing reaches 1
+    assert(exact(2L) == 12L)         // 1 at distance 1
+    assert(exact(3L) == 30L)         // 2 and 4 at d=1, 1 at d=2
+    assert(exact(4L) == 0L)
+    // a larger deterministic graph: HyperBall estimate stays within the
+    // face's bound (15% relative + one harmonic unit absolute) per node
+    val n = 200
+    val big = (0L until n.toLong).flatMap(i =>
+      Seq((i, (i * 7 + 3) % n), (i, (i * 13 + 11) % n), (i, (i * 29 + 17) % n)))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val ex2 = Centrality.harmonicExact(spark, big, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Centrality.harmonicHyperBall(spark, big, maxDepth = 4)
+      .collect().map(b => b.node -> b.harmonic).toMap
+    val offenders = ex2.collect { case (node, h) =>
+      val e = est(node) * 12.0
+      (node, h, e, math.abs(e - h.toDouble) > h.toDouble * 0.15 + 12.0)
+    }.filter(_._4)
+    assert(offenders.isEmpty, s"out of bound: ${offenders.take(5)}")
+    // determinism: sketches are partition-order independent
+    val est2 = Centrality.harmonicHyperBall(spark, big.repartition(7), maxDepth = 4)
+      .collect().map(b => b.node -> b.harmonic).toMap
+    assert(est == est2)
+  }
+
   test("bpe-ish token count and multi-language ID heuristics") {
     import spark.implicits._
     val df = Seq(
