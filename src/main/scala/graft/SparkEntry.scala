@@ -498,6 +498,18 @@ object SparkEntry {
       res.map(r => (r.rank, r.repo.toLong, math.rint(r.score * 1e4) / 1e4,
         r.snippet.take(60))).toDF("rank", "doc_id", "score", "snippet")
     }),
+    "q_ltr" -> ((s, d) => {
+      // LambdaMART rerank: a LightGBM-text-format ensemble (parsed by
+      // core.Ltr, exercising the model-format parser) re-scores the
+      // recall pool's signal vectors; training stays scoped (the
+      // reference ships no artifact), inference is fully oracled
+      import s.implicits._
+      val idx = docIndex(s, d)
+      val model = graft.core.Ltr.parse(LtrModelText)
+      idx.rankLtr("table merge window", 10, model).toSeq
+        .map { case (h, sc) => (h.rank, h.repo.toLong, sc) }
+        .toDF("rank", "doc_id", "ltr")
+    }),
     "q_engine_signals" -> ((s, d) => {
       // linear ranking model over the signal framework (explainable)
       val idx = docIndex(s, d)
@@ -1333,6 +1345,74 @@ object SparkEntry {
        |  CASE WHEN cjk_chars * 5 >= tlen THEN 'zh' ELSE ${chain(0)} END
        |    AS predicted
        |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q_ltr face's model: LightGBM text layout over signal-feature
+    * names (leaf/threshold constants are exactly-representable decimal
+    * strings, so both engines parse the identical doubles). */
+  private val LtrModelText: String =
+    """feature_names=content_coverage bm25_f centrality_rank url_slashes
+      |
+      |tree
+      |num_leaves=3
+      |split_feature=0 1
+      |threshold=0.5 2.0
+      |left_child=1 -1
+      |right_child=-2 -3
+      |leaf_value=0.05 0.3 0.6
+      |
+      |tree
+      |num_leaves=2
+      |split_feature=2
+      |threshold=5.0
+      |left_child=-1
+      |right_child=-2
+      |leaf_value=0.1 0.4
+      |
+      |tree
+      |num_leaves=2
+      |split_feature=3
+      |threshold=0.45
+      |left_child=-1
+      |right_child=-2
+      |leaf_value=0.2 0.05
+      |
+      |end of trees""".stripMargin
+
+  /** q_ltr oracle: tree CASE chains generated from the SAME parsed
+    * ensemble over the sgl signal columns (which are exact replicas of
+    * the engine's vectors); the tree-output sum folds left in tree
+    * order and divides by the tree count, like Ltr.predict. */
+  private def ltrOracleSql: String = {
+    val model = graft.core.Ltr.parse(LtrModelText)
+    val colOf = Map(
+      graft.core.Signals.Bm25F -> "v_bm25f",
+      graft.core.Signals.Bm25Content -> "v_bm25c",
+      graft.core.Signals.ContentCoverage -> "v_cov",
+      graft.core.Signals.Bm25Bigrams -> "v_bm25bi",
+      graft.core.Signals.Bm25Stemmed -> "v_bm25st",
+      graft.core.Signals.Centrality -> "v_cent",
+      graft.core.Signals.CentralityRank -> "v_crank",
+      graft.core.Signals.UrlSlashes -> "v_slash",
+      graft.core.Signals.UrlDigits -> "v_dig")
+    def nodeSql(t: graft.core.Ltr.Tree, id: Int): String =
+      if (id < 0) t.leaf(-id - 1).toString
+      else {
+        val col = colOf(model.featureNames(t.splitFeature(id)))
+        s"(CASE WHEN $col <= ${t.threshold(id)} THEN ${nodeSql(t, t.left(id))} " +
+          s"ELSE ${nodeSql(t, t.right(id))} END)"
+      }
+    def treeSql(t: graft.core.Ltr.Tree): String =
+      if (t.splitFeature.isEmpty) t.leaf(0).toString else nodeSql(t, 0)
+    val sum = model.trees.map(treeSql).mkString("(", " + ", ")")
+    s"""${signalsCoreCtes(Seq("table", "merge", "window"), 10)},
+       |lt AS (SELECT doc_id, seg, docid,
+       |         $sum / ${model.trees.length}.0 AS ltr FROM sgl),
+       |rkl AS (SELECT doc_id, ltr,
+       |          row_number() OVER (ORDER BY ltr DESC, seg, docid) AS rk
+       |        FROM lt)
+       |SELECT CAST(rk AS INT) AS rank, doc_id, ltr
+       |FROM rkl WHERE rk <= 10 ORDER BY rk""".stripMargin
   }
 
   /** The q_optics face's optic: exercises end-anchored and wildcard
@@ -2229,6 +2309,7 @@ object SparkEntry {
       s"""SELECT node, h, TRUE AS within_bound FROM (
          |${centralityOracleSql.replace("ORDER BY node", "")}
          |) ORDER BY node""".stripMargin,
+    "q_ltr" -> ltrOracleSql,
     "q_langid_multi" -> langidMultiOracleSql,
     "q_token_count" ->
       s"""SELECT doc_id,

@@ -790,6 +790,27 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       }
   }
 
+  /** LambdaMART rerank (the reference's coordinator recall stage runs
+    * its LightGBM model over the candidates' signal vectors,
+    * ranking/models/lambdamart.rs + pipeline stages): candidates come
+    * from the segment-count-independent recall pool, signal vectors
+    * compute exactly like rankSignals, and the final order is the
+    * ensemble prediction (desc, seg, docid). Feature names are the
+    * core.Signals constants; absent features read 0.0 like the
+    * reference. Returns hits re-ranked with their ltr scores. */
+  def rankLtr(query: String, k: Int, model: Ltr.Ensemble)
+      : Array[(Hit, Double)] = {
+    val fetchK = InvertedIndex.candidateBudget(k)
+    val cands = searchBatchRaw(Seq(("q", query, fetchK, "or+", Nil)))("q")
+    if (cands.isEmpty) return Array.empty
+    val withVecs = rankSignalsOver(query, cands, cands.length)
+    withVecs.map { case (h, v) => (h, v, model.predict(v)) }
+      .sortBy(t => (-t._3, t._1.segment, t._1.docId))(
+        Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Int, Ordering.Int))
+      .take(k).zipWithIndex
+      .map { case ((h, _, s), i) => (h.copy(rank = i + 1), s) }
+  }
+
   /** Boolean query trees (reference boolean_weight.rs:112-147 +
     * reqopt_scorer.rs): arbitrary Must/Should/MustNot nesting with
     * RequiredOptionalScorer semantics — required clauses gate matching,

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Ltr
+
+/** LambdaMART inference: LightGBM text-layout parse + hand-traced
+  * predictions (mean of tree outputs, left on <=, missing = 0.0). */
+class LtrSpec extends AnyFunSuite {
+
+  private val text =
+    """feature_names=f0 f1
+      |other_header=ignored
+      |
+      |tree
+      |num_leaves=3
+      |split_feature=0 1
+      |threshold=1.5 0.25
+      |left_child=1 -1
+      |right_child=-2 -3
+      |leaf_value=10.0 20.0 30.0
+      |
+      |tree
+      |num_leaves=1
+      |split_feature=
+      |threshold=
+      |left_child=
+      |right_child=
+      |leaf_value=4.0
+      |
+      |end of trees""".stripMargin
+
+  test("parse: trees, leaves, constant tree") {
+    val m = Ltr.parse(text)
+    assert(m.featureNames.toSeq == Seq("f0", "f1"))
+    assert(m.trees.length == 2)
+    assert(m.trees(1).splitFeature.isEmpty && m.trees(1).leaf.toSeq == Seq(4.0))
+  }
+
+  test("predict: traversal, tie-on-threshold goes left, missing reads 0") {
+    val m = Ltr.parse(text)
+    // f0 <= 1.5 -> node1; f1 <= 0.25 -> leaf0 (10); +4 const; /2
+    assert(m.predict(Map("f0" -> 1.0, "f1" -> 0.2)) == (10.0 + 4.0) / 2)
+    // f1 > 0.25 -> leaf2 (30)
+    assert(m.predict(Map("f0" -> 1.5, "f1" -> 0.3)) == (30.0 + 4.0) / 2)
+    // f0 > 1.5 -> leaf1 (20)
+    assert(m.predict(Map("f0" -> 2.0)) == (20.0 + 4.0) / 2)
+    // missing features read 0.0 -> left, left
+    assert(m.predict(Map.empty) == (10.0 + 4.0) / 2)
+  }
+
+  test("parse errors are loud") {
+    intercept[Ltr.ParseError](Ltr.parse("feature_names=a\n\nend of trees"))
+    intercept[Ltr.ParseError](Ltr.parse("no_names=1\n\ntree\nleaf_value=1\n\nend of trees"))
+  }
+}
