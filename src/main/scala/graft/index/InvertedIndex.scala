@@ -123,7 +123,13 @@ final class InvertedIndex(spark: SparkSession, dir: String,
           Fields.expand(Tokenizers.default(q).take(16).toSeq,
             stemmed = true, bigrams = true, stem = queryStem)
         else queryTerms(q).toSeq
-      (qid, terms, k, mode, minus.flatMap(queryTerms).distinct)
+      // a minus entry containing a NUL is already a field-prefixed
+      // INDEX term (e.g. a lowered site:/repo: must-not from optics
+      // blocklists) and passes through untokenized — the tokenizer
+      // would destroy the prefix; user text can never contain NUL
+      (qid, terms, k, mode,
+        minus.flatMap(m =>
+          if (m.indexOf('\u0000') >= 0) Seq(m) else queryTerms(m).toSeq).distinct)
     }
     val allTerms = plans.flatMap(p => p._2 ++ p._5).distinct
     if (allTerms.isEmpty || stats.numDocs == 0) return plans.map(p => p._1 -> Array.empty[(Int, Int, Float)]).toMap
@@ -396,7 +402,7 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * (reference operator lowering, plan/node.rs:128-172; web operators
     * mapped to the code corpus — site->repo, url->path, title->file
     * name). Requires an index built with Config.indexMeta. */
-  private def lowerOp(op: String, v: String): Option[Seq[String]] = op match {
+  private[index] def lowerOp(op: String, v: String): Option[Seq[String]] = op match {
     case "site" | "repo"          => Some(Seq(Fields.repoTerm(v)))
     case "lang"                   => Some(Seq(Fields.langTerm(v.toLowerCase)))
     case "exacturl" | "exactpath" =>
@@ -633,10 +639,11 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * Returns hits with their full signal vectors (the reference's
     * ranking explainability surface). */
   def rankSignals(query: String, k: Int,
-                  coeffs: Map[String, Double] = Signals.DefaultCoefficients)
+                  coeffs: Map[String, Double] = Signals.DefaultCoefficients,
+                  minusTerms: Seq[String] = Nil)
       : Array[(Hit, Map[String, Double])] = {
     val fetchK = InvertedIndex.candidateBudget(k)
-    val cands = searchBatchRaw(Seq(("q", query, fetchK, "or+", Nil)))("q")
+    val cands = searchBatchRaw(Seq(("q", query, fetchK, "or+", minusTerms)))("q")
     rankSignalsOver(query, cands, k, coeffs)
   }
 

@@ -290,6 +290,18 @@ object Optics {
   def contentMatchings(optic: Optic): List[Matching] =
     optic.rules.flatMap(_.matches.flatten).filter(_.location == Content).distinct
 
+  /** Exact-anchored Site Discard rules — the reference's
+    * `as_blocked_sites` special case (lib.rs:406-470): a rule of the
+    * exact shape `Rule {{ Matches {{ Site("|host|") }},
+    * Action(Discard) }}` is a blocklist entry the recall stage can
+    * lower to a must-not metadata term instead of spending candidate
+    * slots on docs the collector will drop anyway. */
+  def blockedSites(optic: Optic): Seq[String] =
+    optic.rules.collect {
+      case Rule(List(List(Matching(Site, Anchor :: Raw(host) :: Anchor :: Nil))),
+                Discard) => host
+    }
+
   /** Driver-side scorer for the serving pipeline's candidate page:
     * (multiplier, matchedAnyRule); None = discarded (a Discard rule
     * fired, or DiscardNonMatching and nothing matched). Metadata

@@ -45,6 +45,16 @@ object SearchPipeline {
           cfg: Config = Config()): Seq[SearchResult] = {
     val (body, mode, minus, ops) = idx.parseOps(query)
 
+    // blocklist lowering (reference as_blocked_sites -> MustNot at
+    // RECALL, query/optic.rs:164-168): exact-anchored Site discard
+    // rules become must-not metadata terms so blocked docs never
+    // consume candidate slots. Needs an indexMeta index — without one
+    // the terms are simply absent and the post-recall discard in the
+    // optic stage still removes the docs (belt and braces).
+    val blockedTerms: Seq[String] = cfg.optic.toSeq
+      .flatMap(Optics.blockedSites)
+      .flatMap(h => idx.lowerOp("site", h).getOrElse(Nil))
+
     // stages 2-3: candidates with signal vectors
     val ranked: Seq[(Hit, Map[String, Double])] =
       if (ops.nonEmpty) {
@@ -53,8 +63,8 @@ object SearchPipeline {
         val tree = BooleanQuery.Bool(
           must = ops.map(BooleanQuery.Term.apply),
           should = idx.queryTerms(body).toSeq.map(BooleanQuery.Term.apply),
-          mustNot = minus.flatMap(m => idx.queryTerms(m)).distinct
-            .map(BooleanQuery.Term.apply))
+          mustNot = (minus.flatMap(m => idx.queryTerms(m)) ++ blockedTerms)
+            .distinct.map(BooleanQuery.Term.apply))
         val hits = idx.resolve(
           idx.searchBool(BooleanQuery.factor(tree), k * cfg.slack),
           k * cfg.slack)
@@ -65,9 +75,14 @@ object SearchPipeline {
         // hits get full explainable signal vectors instead of the raw
         // phrase-WAND score
         val cands = idx.searchRaw(body,
-          InvertedIndex.candidateBudget(k * cfg.slack), mode, minus)
+          InvertedIndex.candidateBudget(k * cfg.slack), mode,
+          minus ++ blockedTerms)
         idx.rankSignalsOver(body, cands, k * cfg.slack, cfg.coeffs).toSeq
-      } else idx.rankSignals(body, k * cfg.slack, cfg.coeffs).toSeq
+      } else
+        // user "-term" negation reaches the recall stage here too (it
+        // was silently dropped on the plain-term path before)
+        idx.rankSignals(body, k * cfg.slack, cfg.coeffs,
+          minusTerms = minus ++ blockedTerms).toSeq
     // optic stage (reference applies rule boosts inside the ranking
     // computer, computer/mod.rs:471-496; here they rescale the k·slack
     // candidate page before the collector — the same two-stage

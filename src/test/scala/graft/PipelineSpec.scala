@@ -73,6 +73,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("plain-term negation reaches the signal-rerank recall") {
+    val res = SearchPipeline.run(index, "data -table", 10, fetch)
+    assert(res.nonEmpty)
+    // "-table" excludes every doc containing the term, in RECALL (the
+    // plain path used to drop negation silently)
+    res.foreach { r =>
+      assert(!textMap((r.repo, r.path)).contains("table"),
+        s"${r.repo}/${r.path} contains the negated term")
+    }
+  }
+
   test("empty query yields no results") {
     assert(SearchPipeline.run(index, "", 5).isEmpty)
     assert(SearchPipeline.run(index, "zzzznotaterm", 5).isEmpty)
