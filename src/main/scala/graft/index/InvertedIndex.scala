@@ -288,9 +288,13 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * pattern aligns like an exact phrase (Phrase.phraseStarts over the
     * positions index), `*` wildcards allow any token gap between
     * consecutive runs (ordered, non-overlapping, greedy-earliest —
-    * equivalent for existence), and a leading `|` anchors the first
-    * run to position 0. End anchors are rejected at parse (the exact
-    * doc token count is only stored log-bucketed).
+    * equivalent for existence), a leading `|` anchors the first run to
+    * position 0, and a trailing `|` anchors the last run to the doc's
+    * END — the exact per-doc token count lives in the doc table
+    * (DocRow.numTokens), cogrouped into the segment pass as a dense
+    * array beside the postings (fieldnorms are NOT used here: matching
+    * never scores, so the pass ships (docId, numTokens) pairs instead
+    * of fieldnorm blobs).
     *
     * Returns matching (segment, docId) pairs in (segment, docId)
     * order. `candidates` restricts evaluation to those docs (the
@@ -302,12 +306,15 @@ final class InvertedIndex(spark: SparkSession, dir: String,
   def patternMatch(parts: List[Optics.Part],
                    candidates: Option[Set[(Int, Int)]] = None,
                    cap: Int = 10000): Array[(Int, Int)] = {
-    // the position-0 anchor binds only when the first run follows the
-    // '|' directly — "|* foo" is anchored-then-wildcard, i.e. free
+    // anchors bind only when the run touches the '|' directly —
+    // "|* foo" is anchored-then-wildcard, i.e. free, and "foo *|"
+    // likewise (any tail always exists)
     val anchored = parts match {
       case Optics.Anchor :: Optics.Raw(_) :: _ => true
       case _                                   => false
     }
+    val endAnchored = parts.length >= 2 && parts.last == Optics.Anchor &&
+      parts(parts.length - 2).isInstanceOf[Optics.Raw]
     val runs: List[Seq[String]] = parts.collect {
       case Optics.Raw(s) => Tokenizers.default(s).take(32).toSeq
     }.filter(_.nonEmpty)
@@ -316,11 +323,11 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     val bCand = candidates.map(c => spark.sparkContext.broadcast(c))
 
     def segPass(seg: Int, plist: Array[PostingRow],
-                fnArrs: Map[Int, Array[Byte]]): Iterator[(Int, Int)] = {
+                docLens: Array[Int]): Iterator[(Int, Int)] = {
       val byTerm = plist.groupBy(_.term)
       val dummy = new Bm25Weight(1.0f, 1.0f)
+      val fnA = new Array[Byte](docLens.length) // matching never scores
       def cursor(t: String): Option[TermCursor] = byTerm.get(t).map { rows =>
-        val fnA = fnArrs(Fields.Content)
         val sorted = rows.sortBy(_.shard)
         if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, dummy)
         else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, dummy)))
@@ -329,22 +336,34 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       val runCursors: List[Seq[TermCursor]] = runs.map(_.flatMap(t => cursor(t)))
       if (runCursors.zip(runs).exists { case (cs, r) => cs.length != r.length })
         return Iterator.empty // some pattern term absent from this segment
+      val lastIdx = runCursors.length - 1
       val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       BlockWand.intersect(runCursors.flatten, (doc, _) => {
         if (bCand.forall(_.value.contains((seg, doc)))) {
           var minPos = 0
           var okDoc = true
-          var first = true
+          var idx = 0
           runCursors.foreach { cs =>
             if (okDoc) {
               val pos = new Array[Array[Int]](cs.length)
               var i = 0
               while (i < cs.length) { pos(i) = cs(i).positions; i += 1 }
               val starts = Phrase.phraseStarts(pos)
-              val at = starts.indexWhere(_ >= minPos)
-              if (at < 0 || (first && anchored && starts(at) != 0)) okDoc = false
-              else minPos = starts(at) + cs.length
-              first = false
+              if (endAnchored && idx == lastIdx) {
+                // the LAST run must END exactly at the doc's token
+                // count — and, for a single doubly-anchored run, still
+                // START at 0
+                val target = docLens(doc) - cs.length
+                okDoc = target >= minPos &&
+                  (!(idx == 0 && anchored) || target == 0) &&
+                  java.util.Arrays.binarySearch(starts, target) >= 0
+              } else {
+                val at = starts.indexWhere(_ >= minPos)
+                if (at < 0 || (idx == 0 && anchored && starts(at) != 0))
+                  okDoc = false
+                else minPos = starts(at) + cs.length
+              }
+              idx += 1
             }
           }
           if (okDoc) out += ((seg, doc))
@@ -354,19 +373,19 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     }
 
     val post = postings.filter($"term".isin(allTerms: _*))
-    val matched = (residentFnorms match {
-      case Some(bc) =>
-        post.groupByKey(_.segment).flatMapGroups { (seg, ps) =>
-          val plist = ps.toArray
-          if (plist.isEmpty) Iterator.empty else segPass(seg, plist, bc.value(seg))
+    val lens = docs.select($"segment", $"docId", $"numTokens")
+      .as[(Int, Int, Int)]
+    val matched = post.groupByKey(_.segment)
+      .cogroup(lens.groupByKey(_._1)) { (seg, ps, ds) =>
+        val plist = ps.toArray
+        if (plist.isEmpty) Iterator.empty
+        else {
+          val rows = ds.toArray
+          val arr = new Array[Int](rows.length) // docIds are dense 0..n-1
+          rows.foreach(r => arr(r._2) = r._3)
+          segPass(seg, plist, arr)
         }
-      case None =>
-        post.groupByKey(_.segment).cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
-          val plist = ps.toArray
-          if (plist.isEmpty) Iterator.empty
-          else segPass(seg, plist, assembleFnorms(fs))
-        }
-    }).collect()
+      }.collect()
     matched.sortBy(identity).take(cap)
   }
 

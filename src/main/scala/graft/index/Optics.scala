@@ -149,9 +149,6 @@ object Optics {
       val loc = location(ident())
       expect('('); val pat = quoted(); expect(')')
       val parts = lexPattern(pat)
-      if (loc == Content && parts.length >= 2 && parts.last == Anchor)
-        err("Content end-anchors need the exact doc token count, which " +
-          "the index stores only log-bucketed (fieldnorm) — unsupported")
       if (loc == Content && parts.forall(p => p == Anchor || p == Wildcard))
         err("Content pattern needs at least one literal token run")
       Matching(loc, parts)

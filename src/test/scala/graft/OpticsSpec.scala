@@ -35,14 +35,11 @@ class OpticsSpec extends AnyFunSuite {
     assert(o.rules.head.action == Boost(0)) // reference lib.rs:130
   }
 
-  test("parser: Content accepted; no-analog locations and end anchors rejected") {
-    val o = Optics.parse("""Rule { Matches { Content("foo * bar") }, Action(Boost(1)) }""")
+  test("parser: Content accepted (incl. end anchors); no-analog locations rejected") {
+    val o = Optics.parse("""Rule { Matches { Content("foo * bar|") }, Action(Boost(1)) }""")
     assert(Optics.contentMatchings(o).length == 1)
     intercept[Optics.ParseError] { // no code-corpus analog
       Optics.parse("""Rule { Matches { Schema("Recipe") }, Action(Discard) }""")
-    }
-    intercept[Optics.ParseError] { // end anchor needs exact doc length
-      Optics.parse("""Rule { Matches { Content("foo|") }, Action(Discard) }""")
     }
     intercept[Optics.ParseError] { // no literal run
       Optics.parse("""Rule { Matches { Content("*") }, Action(Discard) }""")
@@ -111,6 +108,14 @@ class OpticsSpec extends AnyFunSuite {
     assert(repos("|alpha beta") == Set("r1"))          // pos-0 anchor
     assert(repos("|beta") == Set("r3"))
     assert(repos("delta * alpha") == Set.empty)
+    // end anchors: the exact per-doc token count (DocRow.numTokens)
+    // pins the last run to the doc's end
+    assert(repos("gamma delta|") == Set("r1", "r4"))   // both END with it
+    assert(repos("delta|") == Set("r1", "r2", "r4"))
+    assert(repos("gamma|") == Set("r3"))               // only r3 ends gamma
+    assert(repos("|gamma delta|") == Set("r4"))        // both anchors
+    assert(repos("|alpha * delta|") == Set("r1", "r2"))
+    assert(repos("beta|") == Set.empty)
     // candidate restriction evaluates only the given docs
     val all = idx.patternMatch(Optics.lexPattern("alpha"))
     val one = all.take(1).toSet
