@@ -122,6 +122,70 @@ class OpticsSpec extends AnyFunSuite {
     assert(idx.patternMatch(Optics.lexPattern("alpha"), Some(one)).toSet == one)
   }
 
+  test("patternMatch == brute-force string matcher (120 random patterns)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0 until 40).map { i =>
+      val n = 3 + rnd.nextInt(10)
+      val toks = Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      graft.index.SourceDoc(s"r$i", "f.md", "c", "en", toks.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftpatp").toString
+    graft.index.IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      graft.index.IndexBuilder.Config(numSegments = 3))
+    val idx = new graft.index.InvertedIndex(spark, dir)
+    val byRepo = docs.map(d => d.repo -> d.content.split(" ").toSeq).toMap
+
+    // brute force: ordered run placement with gaps, both anchors
+    def brute(parts: List[Optics.Part], toks: Seq[String]): Boolean = {
+      val runs = parts.collect { case Optics.Raw(s) => s.split(" ").toSeq }
+        .filter(_.nonEmpty)
+      val anch = parts match {
+        case Optics.Anchor :: Optics.Raw(_) :: _ => true; case _ => false
+      }
+      val endAnch = parts.length >= 2 && parts.last == Optics.Anchor &&
+        parts(parts.length - 2).isInstanceOf[Optics.Raw]
+      def starts(run: Seq[String]): Seq[Int] =
+        (0 to toks.length - run.length)
+          .filter(p => toks.slice(p, p + run.length) == run)
+      def place(rs: List[Seq[String]], minPos: Int, first: Boolean): Boolean =
+        rs match {
+          case Nil => true
+          case r :: Nil if endAnch =>
+            val t = toks.length - r.length
+            t >= minPos && (!(first && anch) || t == 0) && starts(r).contains(t)
+          case r :: rest =>
+            starts(r).exists(p => p >= minPos && (!(first && anch) || p == 0) &&
+              place(rest, p + r.length, first = false))
+        }
+      runs.nonEmpty && place(runs, 0, first = true)
+    }
+
+    def randomPattern(): List[Optics.Part] = {
+      val nRuns = 1 + rnd.nextInt(3)
+      val runs = List.fill(nRuns) {
+        val len = 1 + rnd.nextInt(3)
+        Optics.Raw(Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val mid: List[Optics.Part] =
+        runs.flatMap(r => List(r, Optics.Wildcard)).dropRight(1)
+      val withStart = if (rnd.nextBoolean()) Optics.Anchor :: mid else mid
+      if (rnd.nextBoolean()) withStart :+ Optics.Anchor else withStart
+    }
+
+    (1 to 120).foreach { _ =>
+      val pat = randomPattern()
+      val got = idx.patternMatch(pat)
+      val gotRepos = idx.resolve(got.map { case (s, d) => (s, d, 0.0f) }, got.length)
+        .map(_.repo).toSet
+      val want = byRepo.collect { case (r, t) if brute(pat, t) => r }.toSet
+      assert(gotRepos == want,
+        s"pattern $pat: engine $gotRepos vs brute $want")
+    }
+  }
+
   test("pipeline integration: Content rule boosts docs matching the pattern") {
     val spark = SparkTestSession.spark
     import spark.implicits._
