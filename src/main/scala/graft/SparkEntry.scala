@@ -560,8 +560,11 @@ object SparkEntry {
       // "table" that later contain "merge data" adjacently.
       import s.implicits._
       val idx = docIndex(s, d)
+      // exhaustive cap: the DuckDB oracle enumerates ALL matches, so
+      // the face must never hit patternMatch's silent truncation
       val m = idx.patternMatch(
-        graft.index.Optics.lexPattern("|table * merge data"))
+        graft.index.Optics.lexPattern("|table * merge data"),
+        cap = Int.MaxValue)
       val hits = idx.resolve(m.map { case (sg, dc) => (sg, dc, 0.0f) }, m.length)
       hits.map(_.repo.toLong).sorted.toSeq.toDF("doc_id")
     }),

@@ -92,6 +92,20 @@ object Ltr {
           throw ParseError("inconsistent tree arrays")
         sf.foreach(f => if (f < 0 || f >= names.length)
           throw ParseError(s"split feature $f out of range"))
+        // child validation keeps query-time traversal total: an
+        // internal child must reference a LATER node (strictly
+        // descending trees terminate; a cycle or self-reference would
+        // spin Tree.score forever) and a leaf id must exist
+        (lc ++ rc).zipWithIndex.foreach { case (child, at) =>
+          val node = at % math.max(sf.length, 1)
+          if (child >= 0) {
+            if (child >= sf.length)
+              throw ParseError(s"child $child beyond ${sf.length} nodes")
+            if (child <= node)
+              throw ParseError(s"child $child does not descend from node $node")
+          } else if (-child - 1 >= lv.length)
+            throw ParseError(s"leaf ${-child - 1} beyond ${lv.length} leaves")
+        }
         trees += Tree(sf, th, lc, rc, lv)
       }
     }

@@ -16,27 +16,12 @@ object Phrase {
     else mode.substring(t + 1).toIntOption.map(math.min(_, 255)).getOrElse(0)
   }
 
-  /** Count p in pos(0) such that pos(k) contains p + k for all k. */
-  def phraseFreq(positions: Array[Array[Int]]): Int = {
-    var candidates = positions(0)
-    var k = 1
-    while (k < positions.length && candidates.length > 0) {
-      val next = positions(k)
-      val out = new Array[Int](math.min(candidates.length, next.length))
-      var n = 0
-      var i = 0
-      var j = 0
-      while (i < candidates.length && j < next.length) {
-        val want = candidates(i) + k
-        if (next(j) == want) { out(n) = candidates(i); n += 1; i += 1; j += 1 }
-        else if (next(j) < want) j += 1
-        else i += 1
-      }
-      candidates = java.util.Arrays.copyOf(out, n)
-      k += 1
-    }
-    candidates.length
-  }
+  /** Count p in pos(0) such that pos(k) contains p + k for all k —
+    * the size of [[phraseStarts]] (ONE shared fold: the bit-identity
+    * property tests that gate phraseFreq therefore gate the pattern
+    * matcher's alignment too). */
+  def phraseFreq(positions: Array[Array[Int]]): Int =
+    phraseStarts(positions).length
 
   /** Start positions where the exact token run aligns — phraseFreq's
     * candidate fold returning the surviving start positions instead of

@@ -404,10 +404,20 @@ object IndexBuilder {
       val base = sortKeyOf(d.repo, d.path, d.commit)
       // centrality occupies the high bits, the fnv proxy's top 40 the
       // low bits (within-repo tie-break); un-scored repos keep only the
-      // low bits and therefore sort below any repo with centrality >= 1
+      // low bits and therefore sort below any repo with centrality >= 1.
+      // Scores saturate at 2^23-1: the keys compare as SIGNED longs, so
+      // a larger score shifted by 40 would set the sign bit and invert
+      // the ordering for exactly the most central repos (harmonicExact
+      // emits up to ~60 x reachable-nodes — a 140k-node in-ball would
+      // overflow without the clamp; ordering among such mega-hubs
+      // degrades to the tie-break, never inverts).
       val key =
         if (bCent.value.isEmpty) base
-        else (bCent.value.getOrElse(d.repo, 0L) << 40) | (base >>> 24)
+        else {
+          val c = math.min(math.max(bCent.value.getOrElse(d.repo, 0L), 0L),
+            (1L << 23) - 1)
+          (c << 40) | (base >>> 24)
+        }
       Tagged(segmentOf(d.repo, d.path, S), key,
         d.repo, d.path, d.commit, d.lang, d.content, d.props)
     }

@@ -299,25 +299,39 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * Returns matching (segment, docId) pairs in (segment, docId)
     * order. `candidates` restricts evaluation to those docs (the
     * optics pipeline resolves each distinct Content matching against
-    * exactly the k·slack candidate page); `cap` bounds the standalone
-    * result. The walk is driven by the leapfrog intersection of ALL
-    * pattern terms, so positions decode only for docs containing
-    * every term. */
+    * exactly the k·slack candidate page); `cap` bounds BOTH the rows
+    * each segment ships and the final result — a silent truncation, so
+    * a caller needing exhaustive matches (e.g. an oracle face) must
+    * size `cap` above the possible match count. The walk is driven by
+    * the leapfrog intersection of ALL pattern terms, so positions
+    * decode only for docs containing every term. */
   def patternMatch(parts: List[Optics.Part],
                    candidates: Option[Set[(Int, Int)]] = None,
                    cap: Int = 10000): Array[(Int, Int)] = {
-    // anchors bind only when the run touches the '|' directly —
+    // normalize BEFORE reading anchors: Raw runs tokenize (a
+    // punctuation-only run contributes no tokens and must vanish as a
+    // WILDCARD, not leave its neighbouring anchor pointing at the
+    // wrong surviving run — "alpha * ,,|" constrains nothing at the
+    // end once ",," tokenizes away)
+    val norm: List[Optics.Part] = parts.map {
+      case Optics.Raw(s) =>
+        val toks = Tokenizers.default(s).take(32)
+        if (toks.isEmpty) Optics.Wildcard
+        else Optics.Raw(toks.mkString(" "))
+      case p => p
+    }
+    // anchors bind only when a run touches the '|' directly —
     // "|* foo" is anchored-then-wildcard, i.e. free, and "foo *|"
     // likewise (any tail always exists)
-    val anchored = parts match {
+    val anchored = norm match {
       case Optics.Anchor :: Optics.Raw(_) :: _ => true
       case _                                   => false
     }
-    val endAnchored = parts.length >= 2 && parts.last == Optics.Anchor &&
-      parts(parts.length - 2).isInstanceOf[Optics.Raw]
-    val runs: List[Seq[String]] = parts.collect {
-      case Optics.Raw(s) => Tokenizers.default(s).take(32).toSeq
-    }.filter(_.nonEmpty)
+    val endAnchored = norm.length >= 2 && norm.last == Optics.Anchor &&
+      norm(norm.length - 2).isInstanceOf[Optics.Raw]
+    val runs: List[Seq[String]] = norm.collect {
+      case Optics.Raw(s) => s.split(' ').toSeq
+    }
     if (runs.isEmpty || stats.numDocs == 0) return Array.empty
     val allTerms = runs.flatten.distinct
     val bCand = candidates.map(c => spark.sparkContext.broadcast(c))
@@ -366,7 +380,10 @@ final class InvertedIndex(spark: SparkSession, dir: String,
               idx += 1
             }
           }
-          if (okDoc) out += ((seg, doc))
+          // the per-segment cap bounds rows shipped to the driver (a
+          // pattern of only stop-word-common terms could match half
+          // the corpus); the global sort+take below then cuts again
+          if (okDoc && out.length < cap) out += ((seg, doc))
         }
       })
       out.iterator

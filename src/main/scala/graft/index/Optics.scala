@@ -182,6 +182,11 @@ object Optics {
         }
         maybe(',')
       }
+      // an empty Matches group (or a rule with none) would make the
+      // Column form's reduce crash while the driver scorer vacuously
+      // fires on EVERY doc — reject the ambiguity at parse instead
+      if (groups.isEmpty) err("Rule needs at least one Matches group")
+      if (groups.exists(_.isEmpty)) err("Matches group cannot be empty")
       Rule(groups.toList, action)
     }
     val rules = scala.collection.mutable.ListBuffer[Rule]()
@@ -195,13 +200,13 @@ object Optics {
           expect('('); val l = ident()
           if (l != "Site") err("Like takes Site(...)")
           expect('('); val host = quoted(); expect(')'); expect(')')
-          rules += Rule(List(List(Matching(Site, lexPattern(host)))),
+          rules += Rule(List(List(Matching(Site, hostPattern(host)))),
             Boost(HostPrefWeight))
         case "Dislike" =>
           expect('('); val l = ident()
           if (l != "Site") err("Dislike takes Site(...)")
           expect('('); val host = quoted(); expect(')'); expect(')')
-          rules += Rule(List(List(Matching(Site, lexPattern(host)))),
+          rules += Rule(List(List(Matching(Site, hostPattern(host)))),
             Downrank(HostPrefWeight))
         case other => err(s"statement expected, got $other")
       }
@@ -210,6 +215,14 @@ object Optics {
     }
     Optic(rules.toList, discardNonMatching)
   }
+
+  /** Host preferences rank the HOST ITSELF (reference HostRankings —
+    * exact hosts, not substrings), so a bare Like/Dislike host gets
+    * both anchors; already-anchored spellings are normalized first so
+    * "|host|" doesn't double up into an invalid interior anchor. */
+  private def hostPattern(host: String): List[Part] =
+    Anchor :: (lexPattern(host).dropWhile(_ == Anchor).reverse
+      .dropWhile(_ == Anchor).reverse :+ Anchor)
 
   /** Pattern lexer (reference PatternToken::lex, lib.rs:231-273):
     * '*' -> Wildcard, '|' -> Anchor, runs of anything else -> Raw

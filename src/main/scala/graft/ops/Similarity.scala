@@ -165,10 +165,14 @@ object Similarity {
     val cb =
       if (maxBucketSize == Int.MaxValue) cb0
       else {
-        val hot = cb0.groupBy("bucket")
+        // cache: the hot-bucket count and the anti-join both consume
+        // cb0 — without it the bits-wide lshBucket dot products run
+        // over the whole corpus TWICE
+        val cached = cb0.cache()
+        val hot = cached.groupBy("bucket")
           .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
           .select("bucket")
-        cb0.join(broadcast(hot), Seq("bucket"), "left_anti")
+        cached.join(broadcast(hot), Seq("bucket"), "left_anti")
       }
     val pb = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       lshBucket(col(vecCol), dim, bits).as("bucket"))

@@ -232,6 +232,20 @@ class IndexPipelineSpec extends AnyFunSuite {
     }
     // default (empty map) stays byte-identical to the fnv proxy path:
     // golden fixtures elsewhere pin that invariant
+    // overflow guard: a mega-hub score saturates instead of flipping
+    // the signed sort-key ordering
+    val d2 = tmpDir()
+    IndexBuilder.build(spark, corpus, d2,
+      IndexBuilder.Config(numSegments = 4,
+        centrality = Map(favourite -> (1L << 30))))
+    val idx2 = new InvertedIndex(spark, d2)
+    idx2.docs.map(r => (r.segment, r.docId, r.repo)).collect()
+      .groupBy(_._1).foreach { case (_, seg) =>
+        val fav = seg.filter(_._3 == favourite).map(_._2)
+        val rest = seg.filter(_._3 != favourite).map(_._2)
+        if (fav.nonEmpty && rest.nonEmpty)
+          assert(fav.max < rest.min, "saturated score must still sort first")
+      }
   }
 
   test("determinism: same index at different parallelism") {

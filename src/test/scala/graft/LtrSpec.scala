@@ -53,4 +53,18 @@ class LtrSpec extends AnyFunSuite {
     intercept[Ltr.ParseError](Ltr.parse("feature_names=a\n\nend of trees"))
     intercept[Ltr.ParseError](Ltr.parse("no_names=1\n\ntree\nleaf_value=1\n\nend of trees"))
   }
+
+  test("malformed child graphs fail at parse, not at query time") {
+    def model(lc: String, rc: String, lv: String) =
+      s"feature_names=f0\n\ntree\nsplit_feature=0\nthreshold=1.0\n" +
+        s"left_child=$lc\nright_child=$rc\nleaf_value=$lv\n\nend of trees"
+    // child index beyond the node array
+    intercept[Ltr.ParseError](Ltr.parse(model("5", "-1", "1.0 2.0")))
+    // self-reference (would spin Tree.score forever)
+    intercept[Ltr.ParseError](Ltr.parse(model("0", "-1", "1.0 2.0")))
+    // leaf id beyond leaf_value
+    intercept[Ltr.ParseError](Ltr.parse(model("-1", "-4", "1.0 2.0")))
+    // well-formed control still parses
+    assert(Ltr.parse(model("-1", "-2", "1.0 2.0")).trees.length == 1)
+  }
 }

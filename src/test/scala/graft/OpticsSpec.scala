@@ -209,6 +209,58 @@ class OpticsSpec extends AnyFunSuite {
     assert(res.head.repo == "r1", res.map(_.repo).toString)
   }
 
+  test("host preferences anchor to the exact host; empty Matches rejected") {
+    // a bare Like host must NOT substring-match other sites
+    val o = Optics.parse("""Like(Site("a.com"))""")
+    val score = Optics.scorer(o)
+    def hit(repo: String) = graft.index.Hit(1, 0, 0, 1.0f, repo, "f")
+    assert(score(hit("a.com")).contains((5.0, true)))
+    assert(score(hit("evil-a.com.example")).contains((1.0, false)))
+    // pre-anchored spelling normalizes instead of doubling anchors
+    val o2 = Optics.parse("""Dislike(Site("|b.org|"))""")
+    assert(Optics.scorer(o2)(hit("b.org")).contains((1.0 / 5.0, true)))
+    // rules without matches (or with an empty group) are parse errors,
+    // not a columns-crash / scorer-matches-everything divergence
+    intercept[Optics.ParseError](Optics.parse("""Rule { Action(Boost(2)) }"""))
+    intercept[Optics.ParseError](
+      Optics.parse("""Rule { Matches { }, Action(Boost(2)) }"""))
+  }
+
+  test("punctuation-only runs vanish as wildcards, not mis-bound anchors") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      graft.index.SourceDoc("p1", "a.md", "c", "en", "alpha beta"),
+      graft.index.SourceDoc("p2", "b.md", "c", "en", "beta alpha"))
+    val dir = java.nio.file.Files.createTempDirectory("graftpat3").toString
+    graft.index.IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      graft.index.IndexBuilder.Config(numSegments = 1))
+    val idx = new graft.index.InvertedIndex(spark, dir)
+    def repos(pat: String): Set[String] = {
+      val m = idx.patternMatch(Optics.lexPattern(pat))
+      idx.resolve(m.map { case (s, d) => (s, d, 0.0f) }, m.length)
+        .map(_.repo).toSet
+    }
+    // a Raw that tokenizes to NOTHING (constructed directly — the
+    // default tokenizer emits punctuation as real tokens, so ",," is a
+    // genuine term constraint, but programmatic callers can hand over
+    // empty runs) must vanish as a wildcard: the end anchor must not
+    // re-bind to "alpha" and wrongly demand docs END with it
+    def reposP(parts: List[Optics.Part]): Set[String] = {
+      val m = idx.patternMatch(parts)
+      idx.resolve(m.map { case (s, d) => (s, d, 0.0f) }, m.length)
+        .map(_.repo).toSet
+    }
+    import Optics.{Anchor, Raw, Wildcard}
+    assert(reposP(List(Raw("alpha"), Wildcard, Raw(""), Anchor)) ==
+      Set("p1", "p2"))
+    assert(reposP(List(Anchor, Raw(""), Wildcard, Raw("beta"))) ==
+      Set("p1", "p2"))
+    // and a punctuation run IS a real token constraint (absent here)
+    assert(repos("alpha * ,,|") == Set.empty)
+    assert(repos("alpha|") == Set("p2")) // control: real end anchor
+  }
+
   test("blockedSites extracts only the exact-anchored Site discard shape") {
     val o = Optics.parse(
       """Rule { Matches { Site("|a.com|") }, Action(Discard) };
