@@ -43,7 +43,11 @@ final class InvertedIndex(spark: SparkSession, dir: String,
   def segStats: Dataset[SegStatRow] = data("stat").select("stat.*").as[SegStatRow]
 
   lazy val stats: CollectionStats = {
-    val r = segStats.agg(sum($"numDocs"), sum($"numTokens"), count(lit(1))).head()
+    // coalesce: sum over ZERO stat rows is null, and the empty-index
+    // guards downstream ask `stats.numDocs == 0` — the graceful path
+    // must not NPE computing the very value it guards on
+    val r = segStats.agg(coalesce(sum($"numDocs"), lit(0L)),
+      coalesce(sum($"numTokens"), lit(0L)), count(lit(1))).head()
     CollectionStats(r.getLong(0), r.getLong(1), r.getLong(2).toInt)
   }
 
@@ -61,14 +65,22 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     sys.env.getOrElse("GRAFT_RESIDENT_FNORM_BYTES", (64L << 20).toString).toLong
 
   @transient private lazy val residentFnorms
-      : Option[org.apache.spark.broadcast.Broadcast[Map[Int, Map[Int, Array[Byte]]]]] =
-    if (stats.numDocs > maxResidentFnormBytes) None
+      : Option[org.apache.spark.broadcast.Broadcast[Map[Int, Map[Int, Array[Byte]]]]] = {
+    // gate on the TRUE resident byte count — one byte per doc PER
+    // FNORM FIELD (content + optional bigram/trigram shadows), summed
+    // from the chunk metadata; numDocs alone undercounts ~3x for a
+    // shadow-field index and the whole point of the cap is the
+    // driver's memory
+    val residentBytes = fnorms.agg(coalesce(sum($"numDocs"), lit(0L)))
+      .head().getLong(0)
+    if (residentBytes == 0L || residentBytes > maxResidentFnormBytes) None
     else {
       val all = fnorms.collect().groupBy(_.segment).map { case (seg, chunks) =>
         seg -> assembleFnorms(chunks.iterator)
       }
       Some(spark.sparkContext.broadcast(all))
     }
+  }
 
   /** All fieldnorm arrays collected to the driver (serving tier). */
   def residentFnormsLocal: Map[Int, Map[Int, Array[Byte]]] =
@@ -131,6 +143,15 @@ final class InvertedIndex(spark: SparkSession, dir: String,
         minus.flatMap(m =>
           if (m.indexOf('\u0000') >= 0) Seq(m) else queryTerms(m).toSeq).distinct)
     }
+    searchBatchRawTerms(plans)
+  }
+
+  /** Pre-lowered batch execution: plans carry INDEX terms directly —
+    * the entry for term-set queries (prefix/regex/fuzzy/set expansions
+    * up to their own caps) where a string round-trip through
+    * `queryTerms` would silently re-tokenize and re-cap at 32. */
+  def searchBatchRawTerms(plans: Seq[(String, Seq[String], Int, String, Seq[String])])
+      : Map[String, Array[(Int, Int, Float)]] = {
     val allTerms = plans.flatMap(p => p._2 ++ p._5).distinct
     if (allTerms.isEmpty || stats.numDocs == 0) return plans.map(p => p._1 -> Array.empty[(Int, Int, Float)]).toMap
     val dfs = dfOf(allTerms)
@@ -201,7 +222,12 @@ final class InvertedIndex(spark: SparkSession, dir: String,
                       slop = Phrase.slopOfMode(pm))
                   }
                 case "and" =>
-                  BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
+                  // a query term absent from this segment means NO doc
+                  // here contains all terms — intersecting only the
+                  // present cursors would return partial matches (the
+                  // phrase branch has the same guard)
+                  if (cs.length == terms.length)
+                    BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
                 case "dismax" =>
                   BlockWand.exhaustiveCombine(cs, 0.0f,
                     (d, s) => if (!excluded(d)) topk.push(d, s))
@@ -490,8 +516,22 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     val ops = scala.collection.mutable.ArrayBuffer[String]()
     val plain = scala.collection.mutable.ArrayBuffer[String]()
     parts.foreach { p =>
-      if (p.length > 1 && p.charAt(0) == '-') neg += p.substring(1)
-      else {
+      if (p.length > 1 && p.charAt(0) == '-') {
+        // a negated OPERATOR ('-site:x', '-lang:rust', ...) lowers to
+        // its metadata index terms (NUL-prefixed, so the batch planner
+        // passes them through untokenized) — tokenizing it would
+        // must-not every doc containing the op's words as plain text
+        val body = p.substring(1)
+        val colon = body.indexOf(':')
+        val lowered =
+          if (colon > 0 && colon < body.length - 1)
+            lowerOp(body.substring(0, colon).toLowerCase, body.substring(colon + 1))
+          else None
+        lowered match {
+          case Some(ts) => neg ++= ts
+          case None     => neg += body
+        }
+      } else {
         val colon = p.indexOf(':')
         val lowered =
           if (colon > 0 && colon < p.length - 1)
@@ -565,7 +605,12 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * collector/top_key_phrases.rs:124-170): per segment the top-n
     * phrases by doc_freq after the reference's filters (non-alphabetic
     * char ratio <= 0.25 — spaces count, so one-letter-word phrases
-    * drop; balanced parens; non-empty), then phrases merge across
+    * drop; balanced parens — approximated as EQUAL COUNTS of '(' and
+    * ')', which admits a wrongly-ordered ") x (" that a nesting scan
+    * would reject (kept count-based deliberately: the q_engine_keyphrases
+    * oracle replicates the same count filter, and RAKE phrases are
+    * stop-word-delimited runs where reversed parens do not occur);
+    * non-empty), then phrases merge across
     * segments by SUMMING their scores, sorted and truncated to n. Tie
     * order at both cuts is canonical (score desc, phrase asc); the
     * reference's heap leaves ties unspecified. Requires an index built
@@ -599,17 +644,22 @@ final class InvertedIndex(spark: SparkSession, dir: String,
   def searchPrefix(prefix: String, k: Int, cap: Int = 64): Array[(Int, Int, Float)] = {
     val terms = termsWhere($"term".startsWith(prefix), cap)
     if (terms.isEmpty) return Array.empty
-    searchBatchRaw(Seq(("q", terms.mkString(" "), k, "or", Nil)))("q")
+    searchTermSet(terms, k)
   }
 
-  /** Set query (reference set_query.rs): OR over an explicit term set. */
+  /** Set query (reference set_query.rs): OR over an explicit term set.
+    * Terms enter the batch planner AS-IS — a string round-trip would
+    * re-tokenize them (destroying field prefixes) and re-cap at the
+    * parser's 32 while the expansion caps above go to 64. */
   def searchTermSet(terms: Seq[String], k: Int): Array[(Int, Int, Float)] =
-    searchBatchRaw(Seq(("q", terms.mkString(" "), k, "or", Nil)))("q")
+    searchBatchRawTerms(Seq(("q", terms.distinct, k, "or", Nil)))("q")
 
   /** Regex query (reference's automaton-over-termdict path,
-    * automaton_weight.rs): expand terms matching the pattern. */
+    * automaton_weight.rs — the automaton accepts WHOLE terms, so the
+    * pattern is anchored; rlike alone is an unanchored substring
+    * search). */
   def searchRegex(pattern: String, k: Int, cap: Int = 64): Array[(Int, Int, Float)] = {
-    val terms = termsWhere($"term".rlike(pattern), cap)
+    val terms = termsWhere($"term".rlike(s"^(?:$pattern)$$"), cap)
     if (terms.isEmpty) Array.empty else searchTermSet(terms, k)
   }
 
@@ -631,17 +681,23 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       t -> (Bm25.idf(df, N) * (1.0f + Bm25.K1) * boosts.getOrElse(t, 1.0f))
     }
     val bW = spark.sparkContext.broadcast(weights)
+    val bgAvg = if (N > 0)
+      math.max(stats.numTokens - N, 1L).toFloat / N.toFloat else 1.0f
+    val tgAvg = if (N > 0)
+      math.max(stats.numTokens - 2L * N, 1L).toFloat / N.toFloat else 1.0f
     val post = postings.filter($"term".isin(terms: _*))
     val perSeg = (residentFnorms match {
       case Some(bc) =>
         post.groupByKey(_.segment).flatMapGroups { (seg, ps) =>
-          boostedSegment(seg, ps.toArray, bc.value(seg), bW.value, avgFn, k)
+          boostedSegment(seg, ps.toArray, bc.value(seg), bW.value, avgFn, k,
+            bgAvg, tgAvg)
         }
       case None =>
         post.groupByKey(_.segment).cogroup(fnorms.groupByKey(_.segment)) { (seg, ps, fs) =>
           val plist = ps.toArray
           if (plist.isEmpty) Iterator.empty
-          else boostedSegment(seg, plist, assembleFnorms(fs), bW.value, avgFn, k)
+          else boostedSegment(seg, plist, assembleFnorms(fs), bW.value, avgFn, k,
+            bgAvg, tgAvg)
         }
     }).collect()
     perSeg.sortBy(t => (-t._3, t._1, t._2))(
@@ -651,11 +707,18 @@ final class InvertedIndex(spark: SparkSession, dir: String,
 
   private def boostedSegment(seg: Int, plist: Array[PostingRow],
                              fnArrs: Map[Int, Array[Byte]],
-                             weights: Map[String, Float], avgFn: Float, k: Int)
+                             weights: Map[String, Float], avgFn: Float, k: Int,
+                             bigramAvg: Float = 1.0f, trigramAvg: Float = 1.0f)
       : Iterator[(Int, Int, Float)] = {
     val cursors = plist.groupBy(_.term).toSeq.sortBy(_._1).map { case (t, rows) =>
-      val wt = new Bm25Weight(weights(t), avgFn)
-      val fnA = fnArrs(Fields.Content)
+      // per-field norms like scoreSegment: an n-gram shadow term in a
+      // boosted clause scores with ITS field's average and fnorm bytes
+      val field = Fields.fieldOf(t)
+      val av = if (field == Fields.Bigram) bigramAvg
+               else if (field == Fields.Trigram) trigramAvg
+               else avgFn
+      val wt = new Bm25Weight(weights(t), av)
+      val fnA = fnArrs(Fields.fnormFieldOf(field))
       val sorted = rows.sortBy(_.shard)
       if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, wt)
       else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, wt)))
@@ -673,7 +736,13 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * (fieldnormId, tf) cursor reads; query-independent ones
     * (centrality, rank transform, path shape) come from the doc table.
     * Returns hits with their full signal vectors (the reference's
-    * ranking explainability surface). */
+    * ranking explainability surface).
+    *
+    * Known approximation: the CentralityRank transform runs on the
+    * SEGMENT-LOCAL docid (docids are assigned per segment in global
+    * static-rank order, so the rank restarts at 0 in every segment);
+    * the reference's rank is global. Exact only for single-segment
+    * indexes; the oracle (q_engine_signals) pins this semantics. */
   def rankSignals(query: String, k: Int,
                   coeffs: Map[String, Double] = Signals.DefaultCoefficients,
                   minusTerms: Seq[String] = Nil)
@@ -695,7 +764,9 @@ final class InvertedIndex(spark: SparkSession, dir: String,
                       coeffs: Map[String, Double] = Signals.DefaultCoefficients)
       : Array[(Hit, Map[String, Double])] = {
     val base = Tokenizers.default(query).distinct.take(16).toSeq
-    if (base.isEmpty || stats.numDocs == 0) return Array.empty
+    // the empty-candidate check comes BEFORE the dfOf aggregate below —
+    // no point launching a cluster job to rank nothing
+    if (base.isEmpty || cands.isEmpty || stats.numDocs == 0) return Array.empty
     val N = stats.numDocs
     val avgFn = stats.avgFieldNorm
     val bigramAvg = if (N > 0)
@@ -712,7 +783,6 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       bigrams.map(_.substring(Fields.BigramPrefix.length))).distinct
     val dfs = dfOf((allTerms ++ idfTexts).distinct)
 
-    if (cands.isEmpty) return Array.empty
     val candBySeg = cands.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sorted }
     val bCands = spark.sparkContext.broadcast(candBySeg)
     val bDfs = spark.sparkContext.broadcast(dfs)
@@ -873,13 +943,23 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     val bW = spark.sparkContext.broadcast(weights)
     val bNode = spark.sparkContext.broadcast(node)
     val bPos = spark.sparkContext.broadcast(posTerms)
+    val bgAvg = if (N > 0)
+      math.max(stats.numTokens - N, 1L).toFloat / N.toFloat else 1.0f
+    val tgAvg = if (N > 0)
+      math.max(stats.numTokens - 2L * N, 1L).toFloat / N.toFloat else 1.0f
 
     def boolSegment(seg: Int, plist: Array[PostingRow], fnArrs: Map[Int, Array[Byte]])
         : Iterator[(Int, Int, Float)] = {
-      val fnA = fnArrs(Fields.Content)
       val cursors: Map[String, TermCursor] =
         plist.groupBy(_.term).map { case (t, rows) =>
-          val wt = new Bm25Weight(bW.value(t), avgFn)
+          // per-field norms like scoreSegment: an n-gram shadow term in
+          // a boolean tree scores with ITS field's average and bytes
+          val field = Fields.fieldOf(t)
+          val av = if (field == Fields.Bigram) bgAvg
+                   else if (field == Fields.Trigram) tgAvg
+                   else avgFn
+          val fnA = fnArrs(Fields.fnormFieldOf(field))
+          val wt = new Bm25Weight(bW.value(t), av)
           val sorted = rows.sortBy(_.shard)
           t -> (if (sorted.length == 1) new PostingsCursor(sorted(0).toData, fnA, wt)
                 else new ChainedCursor(sorted.map(r => new PostingsCursor(r.toData, fnA, wt))))

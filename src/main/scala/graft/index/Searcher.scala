@@ -114,7 +114,10 @@ final class Searcher(idx: InvertedIndex, maxCachedTerms: Int = 4096) {
                 slop = Phrase.slopOfMode(pm))
             }
           case "and" =>
-            BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
+            // same guard as the distributed path: a term absent from
+            // this segment rules out every doc here
+            if (cs.length == terms.length)
+              BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
           case "exhaustive" =>
             BlockWand.exhaustiveUnion(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
           case _ =>

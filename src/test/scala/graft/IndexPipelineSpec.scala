@@ -210,6 +210,24 @@ class IndexPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("AND: a term absent from a segment rules out that segment's docs") {
+    import spark.implicits._
+    // 'raretoken' lives in ONE doc (one segment); every other segment
+    // still contains 'common' — intersecting only the PRESENT cursors
+    // there would wrongly return common-only docs
+    val docs = Seq(
+      SourceDoc("r1", "a.md", "c", "en", "common raretoken words here"),
+      SourceDoc("r2", "b.md", "c", "en", "common words appear here"),
+      SourceDoc("r3", "c.md", "c", "en", "common and more words"),
+      SourceDoc("r4", "d.md", "c", "en", "common words again here"))
+    val dir = tmpDir()
+    IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      IndexBuilder.Config(numSegments = 3))
+    val idx = new InvertedIndex(spark, dir)
+    val hits = idx.search("common raretoken", 10, "and")
+    assert(hits.map(_.repo).toSet == Set("r1"), hits.map(_.repo).toSeq)
+  }
+
   test("centrality store steers docid assignment (speedy-kv analog)") {
     import spark.implicits._
     val corpus = Corpus.generate(spark, 300, seed = 13L).cache()
