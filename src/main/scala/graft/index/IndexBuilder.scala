@@ -329,23 +329,18 @@ object IndexBuilder {
   def dataDir(outDir: String) = s"$outDir/data"
   def stagingDir(outDir: String) = s"$outDir/staging"
 
-  def completedSegments(outDir: String): Set[Int] = {
-    val dir = new java.io.File(manifestDir(outDir))
-    if (!dir.isDirectory) return Set.empty
-    dir.listFiles().iterator
-      .map(_.getName)
-      .collect { case n if n.startsWith("seg-") && n.endsWith(".json") =>
-        n.stripPrefix("seg-").stripSuffix(".json").toInt }
-      .toSet
-  }
-
   /** Batch commit marker: written last, checked first — the unit of
     * exactly-once. A batch whose marker exists is fully committed (data
     * adopted + manifests written); one without is re-staged from
     * scratch, and `adoptStaged` first deletes any partially-adopted
-    * files of the same batch, so replay after a crash at ANY point
-    * (mid-stage, mid-adopt, mid-manifest) converges to exactly one copy
-    * of the batch's rows. */
+    * files of the same batch, so replay after a PROCESS crash at any
+    * point (mid-stage, mid-adopt, mid-manifest) converges to exactly
+    * one copy of the batch's rows. Durability caveat: the marker and
+    * the adopted files are not fsynced, so an OS crash / power loss
+    * can leave a durable marker over non-durable data — a filesystem-
+    * level hazard shared with most local-FS commit protocols; on a
+    * real deployment the data dir lives on a durable object store /
+    * HDFS whose rename+close semantics provide the sync. */
   def batchMarkerPath(outDir: String, tag: String): java.nio.file.Path =
     java.nio.file.Paths.get(manifestDir(outDir), s"batch-$tag.done")
 
@@ -426,7 +421,13 @@ object IndexBuilder {
     // is already done) so the batch commit marker names stay meaningful
     // across resumes; an uncommitted batch is re-staged wholesale and
     // adoptStaged clears its partial files, so a crash between the data
-    // append and the manifest write can never duplicate rows
+    // append and the manifest write can never duplicate rows.
+    // Each batch re-scans the input and filters to its segments — a
+    // DELIBERATE trade: persisting the full tagged corpus to skip the
+    // re-scans would materialize the entire (100 TB-class) input once,
+    // which costs more than numBatches cheap columnar scans, and the
+    // batching only engages when numSegments > segmentsPerBatch anyway
+    // (single-batch builds scan once)
     var built = 0
     var skipped = 0
     (0 until S).grouped(cfg.segmentsPerBatch).zipWithIndex.foreach { case (batch, bi) =>
@@ -448,9 +449,7 @@ object IndexBuilder {
         adoptStaged(staged, outDir, tag)
 
         // commit manifests for this batch (checkpoint + lineage)
-        val stats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
-          .select("stat.*").as[SegStatRow]
-          .filter(s => batchSet.contains(s.segment)).collect()
+        val stats = readStats(spark, outDir).filter(s => batchSet.contains(s.segment))
         stats.foreach(writeManifest(outDir, _))
         // segments with zero input rows still need a manifest to be "done"
         val seen = stats.map(_.segment).toSet
@@ -462,13 +461,25 @@ object IndexBuilder {
       }
     }
 
-    val allStats = spark.read.parquet(s"${dataDir(outDir)}/kind=stat")
-      .select("stat.*").as[SegStatRow].collect()
+    val allStats = readStats(spark, outDir)
     // skipped counts batch-marker skips only: segment manifests without
     // a batch marker (a crashed pre-marker run) are REBUILT, so they
     // must not report as skipped
     BuildReport(allStats.map(_.numDocs).sum, allStats.map(_.numTokens).sum,
       built, skipped, (System.nanoTime() - t0) / 1000000)
+  }
+
+  /** Stat rows of everything adopted so far. An EMPTY input writes no
+    * parquet at all (partitionBy creates no kind= dirs), so the missing
+    * path reads as zero rows instead of an AnalysisException — an empty
+    * build is a valid BuildReport(0, 0, ...), and its batch markers
+    * commit like any other (the resume contract assumes a stable input
+    * across retries). */
+  private def readStats(spark: SparkSession, outDir: String): Array[SegStatRow] = {
+    import spark.implicits._
+    val p = s"${dataDir(outDir)}/kind=stat"
+    if (!new java.io.File(p).exists()) Array.empty
+    else spark.read.parquet(p).select("stat.*").as[SegStatRow].collect()
   }
 
   /** Shared segment-build stage: shuffle to segments, sort, accumulate,
@@ -530,6 +541,13 @@ object IndexBuilder {
     private var fnormsTrigram = new java.io.ByteArrayOutputStream()
     private val table = new TermTable(recordPositions)
     private var numTokens = 0L
+    // shadow-field token totals accumulate the CLAMPED per-doc counts
+    // (max(nTok-1,0) / max(nTok-2,0)) so the segment average matches
+    // the mean of the stored per-doc norms even when a segment holds
+    // empty or one-token docs (segTokens - nDocs would go negative-ish
+    // and diverge from the fnorm bytes it is paired with)
+    private var bigramTokens = 0L
+    private var trigramTokens = 0L
     private var shaAgg = new Array[Byte](32)
 
     // curSeg >= 0 means the current segment is accumulated but not yet
@@ -565,6 +583,8 @@ object IndexBuilder {
       fnormsTrigram = new java.io.ByteArrayOutputStream()
       table.clear() // flush() snapshotted its entries; buffers survive
       numTokens = 0L
+      bigramTokens = 0L
+      trigramTokens = 0L
       shaAgg = new Array[Byte](32)
     }
 
@@ -647,10 +667,14 @@ object IndexBuilder {
       table.endDoc(docId)
       val fnId = FieldNorm.fieldNormToId(nTok.toLong)
       fnorms.write(fnId & 0xff)
-      if (indexBigrams)
+      if (indexBigrams) {
         fnormsBigram.write(FieldNorm.fieldNormToId(math.max(nTok - 1, 0).toLong) & 0xff)
-      if (indexTrigrams)
+        bigramTokens += math.max(nTok - 1, 0)
+      }
+      if (indexTrigrams) {
         fnormsTrigram.write(FieldNorm.fieldNormToId(math.max(nTok - 2, 0).toLong) & 0xff)
+        trigramTokens += math.max(nTok - 2, 0)
+      }
       numTokens += nTok
       val sha = sha256(t.content)
       var i = 0
@@ -666,6 +690,8 @@ object IndexBuilder {
       val segDocs = docs
       val (terms, termBufs) = table.sortedEntries()
       val segTokens = numTokens
+      val segBigramTokens = bigramTokens
+      val segTrigramTokens = trigramTokens
       val segShaHex = hex(shaAgg)
       val nDocs = segDocs.length
       val fnArr = fnorms.toByteArray
@@ -679,12 +705,10 @@ object IndexBuilder {
         BuildRow("doc", seg, Some(d), None, None, None))
       val bigramFnArr = fnormsBigram.toByteArray
       val trigramFnArr = fnormsTrigram.toByteArray
-      val fnRows = (0 until nDocs by fnChunk).iterator.map { off =>
-        val end = math.min(off + fnChunk, nDocs)
-        BuildRow("fnorm", seg, None, None,
-          Some(FnormRow(seg, off / fnChunk, end - off,
-            java.util.Arrays.copyOfRange(fnArr, off, end))), None)
-      } ++ extraFnRows(seg, Fields.Bigram, bigramFnArr, nDocs, fnChunk) ++
+      // Fields.Content == 0, so the shared chunker emits the content
+      // rows with the same unshifted chunk ids the reader expects
+      val fnRows = extraFnRows(seg, Fields.Content, fnArr, nDocs, fnChunk) ++
+        extraFnRows(seg, Fields.Bigram, bigramFnArr, nDocs, fnChunk) ++
         extraFnRows(seg, Fields.Trigram, trigramFnArr, nDocs, fnChunk)
       val postRows = terms.indices.iterator.flatMap { ti =>
         val term = terms(ti)
@@ -694,9 +718,9 @@ object IndexBuilder {
         val field = Fields.fieldOf(term)
         val termAvg =
           if (field == Fields.Bigram && nDocs > 0)
-            math.max(segTokens - nDocs, 1L).toFloat / nDocs.toFloat
+            math.max(segBigramTokens, 1L).toFloat / nDocs.toFloat
           else if (field == Fields.Trigram && nDocs > 0)
-            math.max(segTokens - 2L * nDocs, 1L).toFloat / nDocs.toFloat
+            math.max(segTrigramTokens, 1L).toFloat / nDocs.toFloat
           else avgFn
         val termFn = Fields.fnormFieldOf(field) match {
           case Fields.Bigram => bigramFnArr

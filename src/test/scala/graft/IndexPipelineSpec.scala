@@ -210,6 +210,18 @@ class IndexPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("empty input builds a zero-doc report instead of crashing") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val report = IndexBuilder.build(spark, spark.emptyDataset[SourceDoc], dir,
+      IndexBuilder.Config(numSegments = 4))
+    assert(report.numDocs == 0 && report.numTokens == 0)
+    // and the committed (empty) batches resume as skipped
+    val again = IndexBuilder.build(spark, spark.emptyDataset[SourceDoc], dir,
+      IndexBuilder.Config(numSegments = 4))
+    assert(again.segmentsSkipped == 4 && again.segmentsBuilt == 0)
+  }
+
   test("AND: a term absent from a segment rules out that segment's docs") {
     import spark.implicits._
     // 'raretoken' lives in ONE doc (one segment); every other segment
