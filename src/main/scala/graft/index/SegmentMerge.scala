@@ -61,6 +61,15 @@ object SegmentMerge {
     // segFilter drops expired segments (live-index TTL compaction)
     val stats = in.segStats.collect().filter(s => segFilter(s.segment))
       .sortBy(_.segment)
+    if (stats.isEmpty) return
+    // the merge commits through the SAME staged->adopt->manifest->marker
+    // protocol as build()/appendBatch (the exactly-once invariant): a
+    // crashed merge re-run re-stages wholesale, a committed one is a
+    // no-op — bare Append into the data dir would duplicate every row
+    // on retry
+    val tag = s"merge${stats.head.segment}-${stats.last.segment}-f$fanIn"
+    if (IndexBuilder.batchCommitted(outDir, tag)) return
+    val staged = s"${IndexBuilder.stagingDir(outDir)}/$tag"
     val newSegOf: Int => Int = old => old / fanIn
     val grouped = stats.groupBy(s => newSegOf(s.segment))
     val baseOf: Map[Int, Int] = grouped.values.flatMap { g =>
@@ -71,11 +80,38 @@ object SegmentMerge {
         b
       }
     }.toMap
-    val mergedStats: Map[Int, (Long, Long)] = grouped.map { case (ns, g) =>
-      ns -> (g.map(_.numDocs).sum, g.map(_.numTokens).sum)
+    // clamped shadow-field token totals per merged segment (the mean of
+    // the stored per-doc norms — same rule as the builder; the
+    // unclamped numTokens-nDocs form diverges for empty/1-token docs)
+    val shadowTotals: Map[Int, (Long, Long)] = {
+      import org.apache.spark.sql.functions.{greatest, lit => flit, sum => fsum}
+      in.docs.filter(d => segFilter(d.segment)).toDF()
+        .withColumn("newSeg", (col("segment") / flit(fanIn)).cast("int"))
+        .groupBy(col("newSeg"))
+        .agg(fsum(greatest(col("numTokens") - 1, flit(0))).as("bg"),
+          fsum(greatest(col("numTokens") - 2, flit(0))).as("tg"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    // lineage carried into the merged stat rows: posting-entry counts
+    // sum; sha256 aggregates XOR (associative over the doc union) —
+    // legacy inputs with an empty sha propagate "" explicitly
+    val mergedMeta: Map[Int, (Long, String)] = grouped.map { case (ns, g) =>
+      val sha =
+        if (g.exists(_.sha256Agg.isEmpty)) ""
+        else g.map(_.sha256Agg).reduce { (a, b) =>
+          a.grouped(2).zip(b.grouped(2)).map { case (x, y) =>
+            f"${Integer.parseInt(x, 16) ^ Integer.parseInt(y, 16)}%02x"
+          }.mkString
+        }
+      ns -> (g.map(_.numPostings).sum, sha)
+    }
+    val mergedStats: Map[Int, (Long, Long, Long, Long)] = grouped.map { case (ns, g) =>
+      val (bg, tg) = shadowTotals.getOrElse(ns, (0L, 0L))
+      ns -> (g.map(_.numDocs).sum, g.map(_.numTokens).sum, bg, tg)
     }
     val bBase = spark.sparkContext.broadcast(baseOf)
     val bStats = spark.sparkContext.broadcast(mergedStats)
+    val bMeta = spark.sparkContext.broadcast(mergedMeta)
     val maxShard = cfg.maxPostingsPerShard
     val fnChunk = cfg.fnormChunkSize
 
@@ -87,17 +123,24 @@ object SegmentMerge {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("newSeg"))
       .orderBy(col("sortKey").desc, col("repo"), col("path"), col("commit"))
+    // localCheckpoint: the doc write AND the permutation rows below
+    // both consume this window — ONE materialization keeps their tie
+    // order identical (an at-least-once duplicate with equal
+    // (sortKey, repo, path, commit) is not totally ordered, and two
+    // independent executions could break the doc-vs-permutation
+    // agreement) and skips re-running the corpus-wide sort
     val mappedDF = in.docs.filter(d => segFilter(d.segment)).toDF()
       .withColumn("newSeg", (col("segment") / org.apache.spark.sql.functions.lit(fanIn)).cast("int"))
       .withColumn("newId", (org.apache.spark.sql.functions.row_number().over(win) - 1).cast("int"))
+      .localCheckpoint()
     mappedDF.select(
         col("newSeg").as("segment"), col("newId").as("docId"),
         col("repo"), col("path"), col("commit"), col("lang"), col("sha256"),
         col("numTokens"), col("fieldNormId"), col("sortKey"), col("simhash"))
       .as[DocRow]
       .map(d => IndexBuilder.BuildRow("doc", d.segment, Some(d), None, None, None))
-      .write.mode(SaveMode.Append).partitionBy("kind")
-      .parquet(IndexBuilder.dataDir(outDir))
+      .write.mode(SaveMode.Overwrite).partitionBy("kind")
+      .parquet(staged) // Overwrite clears a crashed prior staging
 
     // 2) fnorms + postings: one term-sorted shuffle per merged segment.
     // Permutation rows (kindOrder -1) sort first, then fnorm rows by
@@ -121,20 +164,21 @@ object SegmentMerge {
       .sortWithinPartitions(col("segment"), col("kindOrder"), col("term"),
         col("oldSeg"), col("shard"))
       .mapPartitions { it =>
-        new MergeEmitter(it, bBase.value, bStats.value, maxShard, fnChunk)
+        new MergeEmitter(it, bBase.value, bStats.value, bMeta.value,
+          maxShard, fnChunk)
       }
     merged.write.mode(SaveMode.Append).partitionBy("kind")
-      .parquet(IndexBuilder.dataDir(outDir))
+      .parquet(staged)
 
-    // 3) merged manifests (lineage: XOR of input sha aggregates combines)
+    // 3) adopt the staged files, then manifests, then the commit marker
+    // LAST (the exactly-once order)
+    IndexBuilder.adoptStaged(staged, outDir, tag)
+
+    // merged manifests (lineage: XOR of input sha aggregates combines)
     grouped.toSeq.sortBy(_._1).foreach { case (ns, g) =>
-      val sha = g.map(_.sha256Agg).reduce { (a, b) =>
-        a.grouped(2).zip(b.grouped(2)).map { case (x, y) =>
-          f"${Integer.parseInt(x, 16) ^ Integer.parseInt(y, 16)}%02x"
-        }.mkString
-      }
+      val (nPost, sha) = mergedMeta(ns)
       val row = SegStatRow(ns, g.map(_.numDocs).sum, g.map(_.numTokens).sum,
-        0, g.map(_.numPostings).sum, sha, 0)
+        0, nPost, sha, 0)
       val json =
         s"""{"segment":${row.segment},"numDocs":${row.numDocs},"numTokens":${row.numTokens},
            |"numPostings":${row.numPostings},"sha256Agg":"${row.sha256Agg}",
@@ -142,13 +186,15 @@ object SegmentMerge {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
         IndexBuilder.manifestDir(outDir), f"seg-${row.segment}%05d.json"), json)
     }
+    IndexBuilder.commitBatch(outDir, tag, s""""mergedSegments":${stats.length}""")
   }
 
   /** Streams one sorted partition of MergeRows; per merged segment:
     * fieldnorm chunks first, then terms in sorted order. */
   private final class MergeEmitter(it: Iterator[MergeRow],
                                    bases: Map[Int, Int],
-                                   stats: Map[Int, (Long, Long)],
+                                   stats: Map[Int, (Long, Long, Long, Long)],
+                                   meta: Map[Int, (Long, String)],
                                    maxShard: Int, fnChunk: Int)
       extends Iterator[IndexBuilder.BuildRow] {
     private val buf = it.buffered
@@ -168,7 +214,7 @@ object SegmentMerge {
       * and sorted) and emits fnorm/posting/stat rows lazily per term. */
     private def emitSegment(): Iterator[IndexBuilder.BuildRow] = {
       val seg = buf.head.segment
-      val (nDocs64, nTokens) = stats(seg)
+      val (nDocs64, nTokens, bgTok, tgTok) = stats(seg)
       val nDocs = nDocs64.toInt
       val avgFn = if (nDocs == 0) 1.0f else nTokens.toFloat / nDocs.toFloat
 
@@ -196,6 +242,14 @@ object SegmentMerge {
         val b = Map.newBuilder[Int, Array[Byte]]
         fnStreams.forEach { (k, v) =>
           val a = v.toByteArray
+          // a field array shorter than the doc count means SOME input
+          // segments carried this shadow field and others did not —
+          // the permute below would scatter bytes to wrong ids, so
+          // mixed shadow-field configs are rejected loudly
+          require(a.length == nDocs,
+            s"fnorm field $k has ${a.length} bytes != $nDocs docs in merged " +
+              s"seg $seg — input segments disagree on shadow-field configs; " +
+              "rebuild with a uniform config before merging")
           val out = new Array[Byte](a.length)
           var g = 0
           while (g < a.length) { out(remap(g)) = a(g); g += 1 }
@@ -204,11 +258,13 @@ object SegmentMerge {
         b.result()
       }
       val fnArr = fnArrs(Fields.Content)
-      require(fnArr.length == nDocs, s"fnorm length ${fnArr.length} != $nDocs docs in merged seg $seg")
+      // clamped per-doc sums (the builder's rule): the merged average
+      // must equal the mean of the permuted fnorm bytes even when the
+      // segment holds empty/1-token docs
       val bigramAvg = if (nDocs > 0)
-        math.max(nTokens - nDocs, 1L).toFloat / nDocs.toFloat else 1.0f
+        math.max(bgTok, 1L).toFloat / nDocs.toFloat else 1.0f
       val trigramAvg = if (nDocs > 0)
-        math.max(nTokens - 2L * nDocs, 1L).toFloat / nDocs.toFloat else 1.0f
+        math.max(tgTok, 1L).toFloat / nDocs.toFloat else 1.0f
 
       val fnRows = fnArrs.iterator.flatMap { case (field, arr) =>
         (0 until arr.length by fnChunk).iterator.map { off =>
@@ -246,6 +302,21 @@ object SegmentMerge {
             val (d, t, ps) = decodeAll(p, base)
             docs.add(d); tfs.add(t); poss.add(ps); df += d.length
             if (ps != null) { anyPos = true; nPos += ps.length }
+          }
+          // sublists must agree on positions: a mix means the input
+          // segments were built with different recordPositions configs
+          // (e.g. a live dir resumed under another cfg) and the
+          // concatenation below would NPE or silently drop positions
+          if (anyPos) {
+            var ci = 0
+            while (ci < poss.size) {
+              if (poss.get(ci) == null)
+                throw new IllegalStateException(
+                  s"term '$term' in merged seg $seg mixes position-bearing " +
+                    "and position-free sublists — input segments were built " +
+                    "with different recordPositions configs; rebuild uniformly")
+              ci += 1
+            }
           }
           numTerms += 1
           var allD = new Array[Int](df)
@@ -343,14 +414,23 @@ object SegmentMerge {
         def hasNext: Boolean = !done
         def next(): IndexBuilder.BuildRow = {
           done = true
+          // lineage rides into the merged stat row (posting counts sum,
+          // sha aggregates XOR) so a second-generation merge and the
+          // fidelity witness keep working
+          val (nPost, sha) = meta.getOrElse(seg, (0L, ""))
           IndexBuilder.BuildRow("stat", seg, None, None, None,
-            Some(SegStatRow(seg, nDocs.toLong, nTokens, numTerms, 0L, "", 0L)))
+            Some(SegStatRow(seg, nDocs.toLong, nTokens, numTerms, nPost, sha, 0L)))
         }
       }
       fnRows ++ postRows ++ statRow
     }
 
-    /** Decode a whole posting row into (docs+base, tfs, positions|null). */
+    /** Decode a whole posting row into (docs+base, tfs, positions|null).
+      * COUPLED to the codec conventions in core/Postings.scala
+      * (block framing, tail vint base, position gap-vint terminator):
+      * a framing change there must be mirrored here, and
+      * SegmentMergeSpec's merged==fresh-build property is the gate
+      * that catches a drift. */
     private def decodeAll(p: PostingRow, base: Int)
         : (Array[Int], Array[Int], Array[Int]) = {
       val data = p.toData

@@ -38,6 +38,7 @@ object LiveIndex {
     val spark = batch.sparkSession
     import spark.implicits._
     val tag = s"live$batchId"
+    new java.io.File(IndexBuilder.manifestDir(dir)).mkdirs()
     if (IndexBuilder.batchCommitted(dir, tag)) return
     if (batch.isEmpty) return
     val base = LiveBase + (batchId * SegsPerBatch).toInt
@@ -45,16 +46,18 @@ object LiveIndex {
       IndexBuilder.Tagged(
         base + IndexBuilder.segmentOf(d.repo, d.path, SegsPerBatch),
         IndexBuilder.sortKeyOf(d.repo, d.path, d.commit),
-        d.repo, d.path, d.commit, d.lang, d.content)
+        d.repo, d.path, d.commit, d.lang, d.content, d.props)
     }
     val staged = s"${IndexBuilder.stagingDir(dir)}/$tag"
     IndexBuilder.writeSegments(tagged, SegsPerBatch * 2, staged, cfg)
-    IndexBuilder.adoptStaged(staged, dir, tag)
-    // manifests (lineage + makes the mini-segments visible as committed)
-    val stats = spark.read.parquet(s"${IndexBuilder.dataDir(dir)}/kind=stat")
+    // this batch's stats come from the STAGED output before adoption —
+    // re-reading the live dir's whole stat table here grows O(total
+    // batches) per batch over a long-running stream
+    val stats = spark.read.parquet(s"$staged/kind=stat")
       .select("stat.*").as[SegStatRow]
       .filter(s => s.segment >= base && s.segment < base + SegsPerBatch)
       .collect()
+    IndexBuilder.adoptStaged(staged, dir, tag)
     stats.foreach { s =>
       val json = s"""{"segment":${s.segment},"numDocs":${s.numDocs},"numTokens":${s.numTokens},"batchId":$batchId}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
@@ -64,23 +67,28 @@ object LiveIndex {
   }
 
   /** Start the streaming ingestion: one mini-segment group per
-    * micro-batch, exactly-once via checkpointed foreachBatch. */
+    * micro-batch, exactly-once via checkpointed foreachBatch. `cfg`
+    * flows into every micro-batch build (shadow fields, positions,
+    * metadata operators all work on a live index too). */
   def start(stream: Dataset[SourceDoc], dir: String, checkpoint: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            cfg: IndexBuilder.Config = IndexBuilder.Config()): StreamingQuery = {
     new java.io.File(IndexBuilder.manifestDir(dir)).mkdirs()
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (b: Dataset[SourceDoc], id: Long) =>
-        appendBatch(b, id, dir)
+        appendBatch(b, id, dir, cfg)
       }
       .start()
   }
 
-  /** Age-based compaction: merge all live mini-segments with
-    * batchId <= maxBatchId into the (batch) index layout at outDir.
-    * The reference compacts hourly by segment age
-    * (live_index/index.rs:341); here the age cutoff is the batch id. */
+  /** Age-based compaction: merge the live mini-segments whose batchId
+    * is >= `minBatchId` (i.e. KEEP the newest batches; everything
+    * older than the cutoff is dropped — the TTL) into the (batch)
+    * index layout at outDir. The reference compacts hourly by segment
+    * age (live_index/index.rs:341); here the age cutoff is the batch
+    * id. */
   def compact(spark: SparkSession, liveDir: String, outDir: String,
               cfg: IndexBuilder.Config = IndexBuilder.Config(),
               minBatchId: Long = Long.MinValue): Unit = {

@@ -94,6 +94,44 @@ class SegmentMergeSpec extends AnyFunSuite {
     checkMerged(3, IndexBuilder.Config(maxPostingsPerShard = 128))
   }
 
+  test("merge commits exactly-once: a re-run is a no-op, not a duplication") {
+    val out = tmpDir()
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 3)
+    val merged = new InvertedIndex(spark, out)
+    val docsBefore = merged.docs.count()
+    val hitsBefore = merged.search("spark session", 10, "or").toSeq
+    // re-running the same merge must hit the batch marker and change
+    // NOTHING (bare Append would double every row)
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 3)
+    val again = new InvertedIndex(spark, out)
+    assert(again.docs.count() == docsBefore)
+    assert(again.stats.numDocs == merged.stats.numDocs)
+    assert(again.search("spark session", 10, "or").toSeq == hitsBefore)
+  }
+
+  test("mixed recordPositions segments refuse to merge loudly") {
+    import spark.implicits._
+    val dir = tmpDir()
+    new java.io.File(IndexBuilder.manifestDir(dir)).mkdirs()
+    val mk = (r: String, text: String) =>
+      SourceDoc(r, "f.md", "c", "en", text)
+    graft.streaming.LiveIndex.appendBatch(
+      spark.createDataset(Seq(mk("r1", "alpha beta shared words"))), 0L, dir,
+      IndexBuilder.Config(numSegments = 1, recordPositions = true))
+    graft.streaming.LiveIndex.appendBatch(
+      spark.createDataset(Seq(mk("r2", "alpha gamma shared words"))), 1L, dir,
+      IndexBuilder.Config(numSegments = 1, recordPositions = false))
+    val out = tmpDir()
+    val e = intercept[Exception] {
+      SegmentMerge.merge(spark, dir, out, fanIn = Int.MaxValue)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("recordPositions")),
+      s"expected the mixed-config rejection, got $e")
+  }
+
   test("skew stress: 95%-df hot term shards through build and merge") {
     // FIXTURES.md §1 skew variant: 'license' injected into ~95% of docs
     val skew = Corpus.generate(spark, 500, seed = 13L, skew = true).cache()
