@@ -43,8 +43,11 @@ object Rake {
 
     // candidate phrases: stopword-free runs of 2..maxWords (rake.rs:42-72)
     val phrases = topSentences.flatMap { s =>
-      val words = s.split("\\s+").iterator.filter(_.nonEmpty)
-        .map(_.replace(",", "").replace(".", "")).toSeq
+      // no per-word punctuation cleanup needed: ',' and '.' are
+      // sentence-split chars, so they can never appear inside a word
+      // (other glued punctuation like ';' stays attached — the oracle
+      // replicates exactly this)
+      val words = s.split("\\s+").iterator.filter(_.nonEmpty).toSeq
       val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
       var run = scala.collection.mutable.ArrayBuffer[String]()
       def flush(): Unit = {

@@ -105,7 +105,7 @@ object Snippets {
       if (Character.isLetterOrDigit(fragment.charAt(i))) {
         var j = i
         while (j < fragment.length && Character.isLetterOrDigit(fragment.charAt(j))) j += 1
-        val tok = fragment.substring(i, j).toLowerCase
+        val tok = Tokenizers.normalize(fragment.substring(i, j))
         if (terms.contains(matchTerm(tok))) {
           if (plainStart < i) frags += Fragment(fragment.substring(plainStart, i), false)
           frags += Fragment(fragment.substring(i, j), true)

@@ -45,8 +45,12 @@ object Tokenizers {
     }
   }
 
-  /** Normalize one raw token: lowercase, NFKD, strip combining diacritics. */
-  private def normalize(raw: String): String = {
+  /** Normalize one raw token: lowercase, NFKD, strip combining
+    * diacritics. Exposed within graft so offset-preserving re-scans
+    * (snippet highlighting) can match tokens under the SAME transform
+    * the index terms went through — bare toLowerCase misses every
+    * accented match. */
+  private[graft] def normalize(raw: String): String = {
     var s = raw
     // cheap ASCII fast path (dominant for a source-code corpus)
     var ascii = true

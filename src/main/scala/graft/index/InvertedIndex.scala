@@ -34,6 +34,11 @@ final class InvertedIndex(spark: SparkSession, dir: String,
   // doc at build time)
   private val queryStem: String => String = Stemmers.forLanguage(queryLang)
 
+  /** The index's query-language stemmer — the serving tier must expand
+    * with the SAME stemmer as the distributed path or stem-field terms
+    * look up under the wrong keys. */
+  private[index] def queryStemmer: String => String = queryStem
+
   private def data(kind: String): DataFrame =
     spark.read.parquet(s"${IndexBuilder.dataDir(dir)}/kind=$kind")
 

@@ -39,16 +39,27 @@ final class Searcher(idx: InvertedIndex, maxCachedTerms: Int = 4096) {
   }
 
   /** Fetch-and-cache posting rows for `terms`; one pushed-down scan for
-    * all misses. */
+    * all misses. Cache access synchronizes (an access-order
+    * LinkedHashMap rewires its links on every get, so concurrent
+    * serving calls would corrupt it), and the result assembles from a
+    * LOCAL map — a single query whose vocabulary exceeds the cache cap
+    * must not read back entries its own puts already evicted. */
   private def rowsFor(terms: Seq[String]): Map[String, Array[PostingRow]] = {
-    val missing = terms.filterNot(cache.containsKey)
-    if (missing.nonEmpty) {
-      val fetched = idx.postingRows(missing)
-      missing.foreach { t =>
-        cache.put(t, fetched.getOrElse(t, Array.empty))
+    val local = scala.collection.mutable.Map[String, Array[PostingRow]]()
+    val missing = cache.synchronized {
+      terms.filter { t =>
+        val v = cache.get(t)
+        if (v != null) { local(t) = v; false } else true
       }
     }
-    terms.map(t => t -> cache.get(t)).toMap
+    if (missing.nonEmpty) {
+      val fetched = idx.postingRows(missing)
+      cache.synchronized {
+        missing.foreach(t => cache.put(t, fetched.getOrElse(t, Array.empty)))
+      }
+      missing.foreach(t => local(t) = fetched.getOrElse(t, Array.empty))
+    }
+    terms.map(t => t -> local(t)).toMap
   }
 
   /** Same contract as InvertedIndex.searchRaw, served from the driver. */
@@ -59,9 +70,12 @@ final class Searcher(idx: InvertedIndex, maxCachedTerms: Int = 4096) {
     val terms: Seq[String] =
       if (m.startsWith("phrase")) Tokenizers.default(query).take(32).toSeq
       else if (expanded) Fields.expand(Tokenizers.default(query).take(16).toSeq,
-        stemmed = true, bigrams = true)
+        stemmed = true, bigrams = true, stem = idx.queryStemmer)
       else idx.queryTerms(query).toSeq
-    val minus = minusTerms.flatMap(idx.queryTerms(_)).distinct
+    // NUL-prefixed minus entries are pre-lowered INDEX terms (optic
+    // blocklists) and pass through untokenized — the searchBatchRaw rule
+    val minus = minusTerms.flatMap(t =>
+      if (t.indexOf('\u0000') >= 0) Seq(t) else idx.queryTerms(t).toSeq).distinct
     if (terms.isEmpty || N == 0) return Array.empty
     val all = (terms ++ minus).distinct
     val rows = rowsFor(all)
@@ -118,8 +132,13 @@ final class Searcher(idx: InvertedIndex, maxCachedTerms: Int = 4096) {
             // this segment rules out every doc here
             if (cs.length == terms.length)
               BlockWand.intersect(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
+          case "dismax" =>
+            BlockWand.exhaustiveCombine(cs, 0.0f,
+              (d, s) => if (!excluded(d)) topk.push(d, s))
           case "exhaustive" =>
             BlockWand.exhaustiveUnion(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
+          case "bitset" =>
+            BlockWand.bitsetUnion(cs, (d, s) => if (!excluded(d)) topk.push(d, s))
           case _ =>
             if (negs.isEmpty)
               BlockWand.run(cs, Float.MinValue, (d, s) => topk.push(d, s))

@@ -81,7 +81,10 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, simhash64(text.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+        // null text rows hash as empty (the column-based dedup ops
+        // propagate nulls the same way instead of crashing the task)
+        val t = if (text == null) "" else text
+        (id, simhash64(t.toLowerCase.split("\\s+").filter(_.nonEmpty)))
       }
       .toDF("id", "simhash")
   }
@@ -121,7 +124,11 @@ object Dedup {
     * self-join — one hot shingle otherwise produces O(df^2) pairs, the
     * scale-killer at web scale. The similarity becomes Jaccard over the
     * pruned (discriminative) shingle universe: set sizes are computed
-    * after the prune so the formula stays a true Jaccard there. */
+    * after the prune so the formula stays a true Jaccard there.
+    * `minJaccard` applies to the ROUNDED (4-decimal) similarity — a
+    * pair at 0.09996 rounds to the threshold and passes; deliberate:
+    * the emitted column and the filter see the same value, and the
+    * DuckDB oracle pins exactly this order. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.1,
                    maxShingleDf: Int = 1000): DataFrame = {

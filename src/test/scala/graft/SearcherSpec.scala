@@ -22,7 +22,8 @@ class SearcherSpec extends AnyFunSuite {
       ("spark session", "or", Nil), ("query engine data", "or", Nil),
       ("the license", "and", Nil), ("data table", "phrase", Nil),
       ("merging data tables", "or+", Nil), ("spark", "or", Seq("batch")),
-      ("nosuchtok qqq", "or", Nil), ("spark data", "exhaustive", Nil))
+      ("nosuchtok qqq", "or", Nil), ("spark data", "exhaustive", Nil),
+      ("spark query data", "dismax", Nil), ("spark data", "bitset", Nil))
     cases.foreach { case (q, mode, minus) =>
       val a = searcher.searchRaw(q, 15, mode, minus).toSeq
       val b = index.searchRaw(q, 15, mode, minus).toSeq
