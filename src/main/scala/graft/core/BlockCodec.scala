@@ -21,7 +21,8 @@ object BlockCodec {
     var arr = new Array[Byte](initial)
     var n = 0
     @inline def write(b: Int): Unit = {
-      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      // max(1, ...) : a zero-capacity buffer must still grow
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, math.max(1, n * 2))
       arr(n) = b.toByte; n += 1
     }
     def write(bs: Array[Byte]): Unit = {
@@ -76,8 +77,8 @@ object BlockCodec {
         got += 8
         byteIdx += 1
       }
+      // the Long mask handles width == 32 too ((1L << 32) - 1 == 0xFFFFFFFFL)
       out(i) = ((acc >>> bitOff) & ((1L << width) - 1)).toInt
-      if (width == 32) out(i) = (acc >>> bitOff).toInt
       bitPos += width
       i += 1
     }
@@ -141,6 +142,16 @@ object BlockCodec {
   // Reference layout (compression/vint.rs): little-endian 7-bit groups,
   // HIGH BIT SET terminates a value; sorted = plain deltas vs offset.
 
+  /** CONVENTION NOTE: every vint in this codebase uses the INVERTED
+    * terminator — high bit SET ends a value (the opposite of protobuf).
+    * The convention is load-bearing in several hand-inlined copies
+    * that must stay in lockstep with these helpers: Postings.build's
+    * position gap encode, PostingsCursor.positions decode +
+    * ensurePosOffsets skip-walk, PostingListData.buildEncoded's
+    * skip-walk, IndexBuilder's hot-term docByteOff walk, and
+    * SegmentMerge.decodeAll. Changing the convention anywhere without
+    * the others silently corrupts position data (gated by the phrase
+    * property tests + golden fixtures). */
   def vintSorted(values: Array[Int], n: Int, offset: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(n * 2)
     var prev = offset

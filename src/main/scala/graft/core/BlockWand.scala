@@ -57,10 +57,14 @@ final class TopK(k: Int) {
   }
 
   /** Current pruning threshold: k-th best score, or -inf while not full. */
-  def threshold: Float = if (n < k) Float.NegativeInfinity else scores(0)
+  def threshold: Float =
+    if (k == 0) Float.PositiveInfinity // nothing can ever enter
+    else if (n < k) Float.NegativeInfinity
+    else scores(0)
 
   /** Insert if it beats the threshold; returns the new threshold. */
   def push(doc: Int, score: Float): Float = {
+    if (k == 0) return threshold
     if (n < k) {
       ensure()
       scores(n) = score; docs(n) = doc; n += 1; siftUp(n - 1)
@@ -98,8 +102,13 @@ object BlockWand {
     while (i < a.length) { s(i) = a(i); i += 1 }
   }
 
-  /** Returns (beforePivotLen, pivotLen, pivotDoc) or null. */
-  private def findPivot(s: ArrayBuffer[TermCursor], threshold: Float): (Int, Int, Int) = {
+  /** Packed pivot: (before << 48) | (pivotLen << 32) | pivotDoc, or
+    * -1 when no pivot exists. Packed into one Long because this runs
+    * once per scored pivot — a Tuple3 here boxes three Ints per
+    * iteration of the hottest query loop. Cursor counts fit 16 bits
+    * with huge margin (32-term parse cap x field expansion, term-set
+    * cap 64); the doc id occupies the low 32 bits unsigned. */
+  private def findPivot(s: ArrayBuffer[TermCursor], threshold: Float): Long = {
     var maxScore = 0.0f
     var before = 0
     var found = false
@@ -108,12 +117,12 @@ object BlockWand {
       if (maxScore > threshold) found = true
       else before += 1
     }
-    if (!found) return null
+    if (!found) return -1L
     val pivotDoc = s(before).doc
-    if (pivotDoc == Terminated) return null
+    if (pivotDoc == Terminated) return -1L
     var pivotLen = before + 1
     while (pivotLen < s.length && s(pivotLen).doc == pivotDoc) pivotLen += 1
-    (before, pivotLen, pivotDoc)
+    (before.toLong << 48) | (pivotLen.toLong << 32) | (pivotDoc.toLong & 0xffffffffL)
   }
 
   private def restoreOrdering(s: ArrayBuffer[TermCursor], ord: Int): Unit = {
@@ -193,8 +202,10 @@ object BlockWand {
     val scoreBuf = new Array[Float](s.length)
     sortByDoc(s)
     var pivot = findPivot(s, threshold)
-    while (pivot != null) {
-      val (beforePivotLen, pivotLen, pivotDoc) = pivot
+    while (pivot != -1L) {
+      val beforePivotLen = (pivot >>> 48).toInt
+      val pivotLen = ((pivot >>> 32) & 0xffff).toInt
+      val pivotDoc = pivot.toInt
       var blockMaxUpper = 0.0f
       var i = 0
       while (i < pivotLen) {
@@ -228,8 +239,7 @@ object BlockWand {
     var threshold = threshold0
     var doc = scorer.doc
     if (doc == Terminated) return
-    var done = false
-    while (!done) {
+    while (true) { // exits via the Terminated returns only
       while (scorer.blockMaxScore < threshold) {
         val last = scorer.lastDocInBlock
         if (last == Terminated) return
@@ -250,7 +260,6 @@ object BlockWand {
       }
       doc += 1
       scorer.shallowSeek(doc)
-      if (false) done = true
     }
   }
 

@@ -14,8 +14,12 @@ package graft.core
   * `factor` applies the distributive rewrite of the reference planner
   * (crates/core/src/query/plan/node.rs:215-274):
   * (A|B) & (A|C) -> A | (B&C) — match-set preserving (checked by
-  * property test); like the reference, it is a PLAN optimization and
-  * scoring runs on the original clause structure. */
+  * property test). SCORE caveat: evaluate() on the factored tree
+  * counts a shared clause ONCE, while the original structure sums it
+  * per clause occurrence (the reference's scorers do the latter) — so
+  * callers wanting reference score fidelity must evaluate the
+  * ORIGINAL tree and use the factored one only where raw membership
+  * or cheaper evaluation is the goal. */
 object BooleanQuery {
 
   sealed trait Node

@@ -65,8 +65,13 @@ object SearchPipeline {
           should = idx.queryTerms(body).toSeq.map(BooleanQuery.Term.apply),
           mustNot = (minus.flatMap(m => idx.queryTerms(m)) ++ blockedTerms)
             .distinct.map(BooleanQuery.Term.apply))
+        // score the ORIGINAL tree: factoring preserves the match set
+        // but deduplicates shared clauses, so a factored tree scores a
+        // common disjunct once where the reference sums it per clause
+        // occurrence — searchParsed evaluates unfactored for the same
+        // reason, and the two entry points must rank identically
         val hits = idx.resolve(
-          idx.searchBool(BooleanQuery.factor(tree), k * cfg.slack),
+          idx.searchBool(tree, k * cfg.slack),
           k * cfg.slack)
         hits.toSeq.map(h => (h, Map.empty[String, Double]))
       } else if (mode.startsWith("phrase")) {
