@@ -27,7 +27,7 @@ object SparkEntry {
 
   private val TokCte =
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
       |  FROM documents
       |), tok AS (SELECT doc_id, term FROM toks WHERE term <> '')""".stripMargin
 
@@ -399,11 +399,14 @@ object SparkEntry {
       // multi-language ID: per-language stopword-hit counts (integer
       // evidence columns — no float ratios), CJK char channel for
       // unsegmented script, argmax prediction with alphabetical
-      // tie-break. All codegen'd column expressions.
-      val ev = TextOps.langHits(col("text"))
+      // tie-break and an "und" zero-evidence path. The token array
+      // materializes ONCE (lambda trees are CSE-excluded; the inline
+      // form tokenized each row ~10x across the hit filters).
+      val ev = TextOps.langHitsOn(col("tk"), col("text"))
       t(s, d, "documents").where(col("doc_id") < 200)
+        .withColumn("tk", TextOps.tokens(col("text")))
         .select(col("doc_id") +: ev.map { case (n, c) => c.as(n) } :+
-          TextOps.langPredict(col("text")).as("predicted"): _*)
+          TextOps.langPredictOn(col("tk"), col("text")).as("predicted"): _*)
         .orderBy("doc_id")
     }),
     "q_token_count" -> ((s, d) => {
@@ -779,7 +782,7 @@ object SparkEntry {
       s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0::REAL)")
       .reduce((a, b) => s"($a + $b)")
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
        |  FROM documents),
        |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
@@ -1334,9 +1337,10 @@ object SparkEntry {
         s"CASE WHEN $conds THEN '${names(i)}' ELSE ${chain(i + 1)} END"
       }
     val hitNames = names.map(n => s"${n}_hits").mkString(", ")
+    val allZero = names.map(n => s"${n}_hits").mkString(" + ") + " = 0"
     s"""WITH b AS (
        |  SELECT doc_id,
-       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks,
        |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fa5}]', '', 'g'))
        |      AS cjk_chars,
        |    length(text) AS tlen
@@ -1345,8 +1349,9 @@ object SparkEntry {
        |  $hitCols,
        |  cjk_chars, len(toks) AS n_tokens, tlen FROM b)
        |SELECT doc_id, $hitNames, cjk_chars, n_tokens,
-       |  CASE WHEN cjk_chars * 5 >= tlen THEN 'zh' ELSE ${chain(0)} END
-       |    AS predicted
+       |  CASE WHEN cjk_chars * 5 >= tlen THEN 'zh'
+       |       WHEN $allZero THEN 'und'
+       |       ELSE ${chain(0)} END AS predicted
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
@@ -2109,8 +2114,8 @@ object SparkEntry {
     "q_bigrams" ->
       """WITH pos AS (
         |  SELECT doc_id,
-        |         unnest(string_split(lower(text), ' ')) AS term,
-        |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |         unnest(regexp_split_to_array(lower(text), '\s+')) AS term,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
         |  FROM documents),
         |p2 AS (SELECT doc_id, term, pos,
         |              LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
@@ -2121,8 +2126,8 @@ object SparkEntry {
     "q_phrase_match" ->
       """WITH pos AS (
         |  SELECT doc_id,
-        |         unnest(string_split(lower(text), ' ')) AS term,
-        |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |         unnest(regexp_split_to_array(lower(text), '\s+')) AS term,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
         |  FROM documents),
         |p2 AS (SELECT doc_id, term, pos,
         |              LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
@@ -2199,8 +2204,8 @@ object SparkEntry {
     "q_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |         unnest(string_split(lower(text),' ')) AS w,
-        |         generate_subscripts(string_split(lower(text),' '),1) AS pos
+        |         unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '\s+'),1) AS pos
         |  FROM documents),
         |sh3 AS (
         |  SELECT doc_id, w || ' ' ||
@@ -2224,8 +2229,8 @@ object SparkEntry {
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |         unnest(string_split(lower(text),' ')) AS w,
-        |         generate_subscripts(string_split(lower(text),' '),1) AS pos
+        |         unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '\s+'),1) AS pos
         |  FROM documents WHERE doc_id < 200),
         |sh3 AS (
         |  SELECT DISTINCT doc_id, w || ' ' ||
@@ -2247,12 +2252,12 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(
-        |         list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fp
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))), ' ')) AS fp
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """WITH q AS (
         |  SELECT doc_id,
-        |         list_filter(string_split(lower(text),' '), x -> x <> '') AS tk,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk,
         |         length(text) AS chars
         |  FROM documents WHERE doc_id < 200)
         |SELECT doc_id,
@@ -2260,12 +2265,12 @@ object SparkEntry {
         |       len(list_distinct(tk)) AS num_distinct,
         |       round(len(list_filter(tk, x -> x IN ('the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that','be')))::DOUBLE / len(tk), 4) AS stopword_ratio,
         |       round(len(list_distinct(tk))::DOUBLE / len(tk), 4) AS distinct_ratio,
-        |       round((chars - len(tk) + 1)::DOUBLE / len(tk), 4) AS mean_token_len
+        |       round(list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk), 4) AS mean_token_len
         |FROM q ORDER BY doc_id""".stripMargin,
     "q_langid" ->
       """WITH q AS (
         |  SELECT doc_id, lang,
-        |         list_filter(string_split(lower(text),' '), x -> x <> '') AS tk
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 200)
         |SELECT doc_id, lang,
         |       round(len(list_filter(tk, x -> x IN ('the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that','be')))::DOUBLE / len(tk), 4) AS en_score
@@ -2316,7 +2321,7 @@ object SparkEntry {
     "q_langid_multi" -> langidMultiOracleSql,
     "q_token_count" ->
       s"""SELECT doc_id,
-         |  len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+         |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
          |    AS ws_tokens,
          |  len(regexp_extract_all(lower(text), '${TextOps.BpeChunkPattern}'))
          |    AS bpe_tokens

@@ -33,6 +33,7 @@ object Ltr {
     /** Mean of tree outputs; the per-tree sum folds left in tree order
       * (the oracle's SQL parenthesizes identically). */
     def predict(values: Map[String, Double]): Double = {
+      if (trees.isEmpty) return 0.0 // a hand-built empty ensemble is a no-op, not NaN
       val f = (i: Int) => values.getOrElse(featureNames(i), 0.0)
       var s = 0.0
       trees.foreach(t => s += t.score(f))

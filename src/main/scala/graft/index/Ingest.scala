@@ -53,9 +53,20 @@ object Ingest {
     val expected = input.map(d =>
       (d.repo, d.path, d.commit, IndexBuilder.sha256Hex(d.content)))
       .toDF("repo", "path", "commit", "expectedSha")
+    // one row per key on BOTH sides: a doc present in several segments
+    // (live re-adds) or a duplicated input row would fan the join out
+    // and the three counters would no longer partition the input. A
+    // key whose index copies disagree counts as mismatch (min of the
+    // match flag), never as both ok and mismatch.
+    val expectedByKey = expected.dropDuplicates("repo", "path", "commit")
     val got = new InvertedIndex(spark, indexDir).docs
       .select($"repo", $"path", $"commit", $"sha256")
-    val joined = expected.join(got, Seq("repo", "path", "commit"), "left")
+      .groupBy($"repo", $"path", $"commit")
+      .agg(min($"sha256").as("shaMin"), max($"sha256").as("shaMax"))
+      .select($"repo", $"path", $"commit",
+        when($"shaMin" === $"shaMax", $"shaMin").otherwise(lit("<conflict>"))
+          .as("sha256"))
+    val joined = expectedByKey.join(got, Seq("repo", "path", "commit"), "left")
       .select(
         when($"sha256".isNull, lit("missing"))
           .when($"sha256" === $"expectedSha", lit("ok"))

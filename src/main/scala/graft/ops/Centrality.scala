@@ -158,8 +158,13 @@ object Centrality {
       .where(col("src") =!= col("dst")).distinct()
       .as[(Long, Long)].localCheckpoint()
     val nodes = e.map(_._1).union(e.map(_._2)).distinct().localCheckpoint()
+    // prevEst seeds with the ESTIMATOR's view of the singleton ball,
+    // not the exact 1.0: deltas subtract estimates from estimates
+    // (Boldi & Vigna), and an exact seed inflates every node's first
+    // delta by the estimator's singleton bias (~0.002)
     var cur: Dataset[BallState] =
-      nodes.map(n => BallState(n, initRegs(n), 1.0, 0.0)).localCheckpoint()
+      nodes.map(n => BallState(n, initRegs(n), estimate(initRegs(n)), 0.0))
+        .localCheckpoint()
     var t = 1
     while (t <= maxDepth) {
       val depth = t

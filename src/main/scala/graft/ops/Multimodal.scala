@@ -68,8 +68,12 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
                    frameBytes: Int, everyN: Int): DataFrame = {
     import spark.implicits._
+    require(frameBytes > 0, "frameBytes must be positive")
+    require(everyN > 0, "everyN must be positive")
     media.flatMap { r =>
-      val n = math.max(1, r.bytes.length / frameBytes)
+      // ceil: the trailing PARTIAL frame is a real frame (floor
+      // division silently dropped up to frameBytes-1 tail bytes)
+      val n = math.max(1, (r.bytes.length + frameBytes - 1) / frameBytes)
       (0 until n by everyN).map { f =>
         val off = f * frameBytes
         val end = math.min(off + frameBytes, r.bytes.length)

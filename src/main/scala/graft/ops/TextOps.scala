@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, lowercased, empties dropped. */
+  /** Whitespace tokens, lowercased, empties dropped. Splits on RUNS of
+    * any whitespace — real source text is full of newlines and tabs,
+    * and a single-space split would weld "1\nval" into one pseudo-token
+    * and corrupt every downstream quality/dedup/language statistic. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), " "), t => t =!= "")
+    filter(split(lower(text), "\\s+"), t => t =!= "")
 
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
@@ -31,7 +34,11 @@ object TextOps {
       "num_distinct" -> distinctN,
       "stopword_ratio" -> round(stop.cast("double") / n, 4),
       "distinct_ratio" -> round(distinctN.cast("double") / n, 4),
-      "mean_token_len" -> round((length(text) - n + 1).cast("double") / n, 4)
+      // true mean of token lengths (the old length(text)-n+1 shortcut
+      // assumed exactly one single-space separator between tokens and
+      // broke on any doubled space, tab, newline or edge whitespace)
+      "mean_token_len" -> round(
+        aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / n, 4)
     )
   }
 
@@ -72,25 +79,39 @@ object TextOps {
   def cjkCount(text: Column): Column =
     length(regexp_replace(text, "[^\\x{4e00}-\\x{9fa5}]", ""))
 
-  /** Language-ID evidence: one integer stopword-hit-count column per
-    * language plus the CJK char count and the token count — integer
-    * columns only (a ratio column would reintroduce the
-    * round(double) half-tie hazard the float invariants forbid). */
-  def langHits(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  /** Language-ID evidence over a PRE-COMPUTED token column: one
+    * integer stopword-hit-count column per language plus the CJK char
+    * count and the token count — integer columns only (a ratio column
+    * would reintroduce the round(double) half-tie hazard the float
+    * invariants forbid). Callers should materialize the token array
+    * into a real column first (withColumn) and pass its reference:
+    * lambda-bearing subtrees are excluded from Spark's common-
+    * subexpression elimination (the minhashBand hazard below), so an
+    * inline tokens(text) here would re-tokenize every row once per
+    * language filter. */
+  def langHitsOn(toks: Column, text: Column): Seq[(String, Column)] =
     StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
       s"${lang}_hits" -> size(filter(toks, t => t.isin(words: _*)))
     } ++ Seq("cjk_chars" -> cjkCount(text), "n_tokens" -> size(toks))
-  }
+
+  /** Convenience form — inlines the tokenizer per filter; prefer
+    * [[langHitsOn]] over a materialized token column at scale. */
+  def langHits(text: Column): Seq[(String, Column)] =
+    langHitsOn(tokens(text), text)
 
   /** Predicted language: "zh" when CJK chars clear cjkNum/cjkDen of
-    * the text length (integer cross-multiplication, no division),
+    * the text length (integer cross-multiplication, no division);
+    * "und" (BCP-47 undetermined) when NO language has any stopword
+    * evidence — a stopword-free code/English doc must not be
+    * confidently labeled with the alphabetically-first language;
     * otherwise the argmax stopword-hit count with ties to the
     * alphabetically-first language (greatest over (hits, -rank)
     * structs, the ivfCell pattern — pure codegen'd expressions). */
-  def langPredict(text: Column, cjkNum: Int = 1, cjkDen: Int = 5): Column = {
+  def langPredictOn(toks: Column, text: Column,
+                    cjkNum: Int = 1, cjkDen: Int = 5): Column = {
     val langs = StopwordsByLang.keys.toSeq.sorted
-    val hits = langHits(text).toMap
+    val hits = langHitsOn(toks, text).toMap
+    val hitCols = langs.map(l => hits(s"${l}_hits"))
     val structs = langs.zipWithIndex.map { case (lang, i) =>
       struct(hits(s"${lang}_hits").as("s"), lit(-i).as("nid"))
     }
@@ -99,8 +120,13 @@ object TextOps {
       case (acc, (lang, i)) => when(bestIdx === i, lit(lang)).otherwise(acc)
     }
     when(cjkCount(text) * cjkDen >= length(text) * cjkNum, lit("zh"))
+      .when(hitCols.reduce(_ + _) === 0, lit("und"))
       .otherwise(byIdx)
   }
+
+  /** Convenience form of [[langPredictOn]]. */
+  def langPredict(text: Column, cjkNum: Int = 1, cjkDen: Int = 5): Column =
+    langPredictOn(tokens(text), text, cjkNum, cjkDen)
 
   /** n-token shingles via posexplode-free column ops: transform over
     * index range. Docs with fewer than n tokens yield an empty array

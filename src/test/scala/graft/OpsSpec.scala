@@ -204,7 +204,9 @@ class OpsSpec extends AnyFunSuite {
       (3L, "der hund und die katze sind nicht da"),
       (4L, "le chat est sur la table dans le jardin"),
       (5L, "el perro y el gato no son para mi"),
-      (6L, "一个中文文档的内容测试一二三四五六七八九十")
+      (6L, "一个中文文档的内容测试一二三四五六七八九十"),
+      (7L, "def compute(x): return x * x"), // zero stopword evidence
+      (8L, "the\tquick\nbrown  fox") // whitespace runs, not just spaces
     ).toDF("doc_id", "text")
     val out = df.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).as("ws"),
@@ -218,6 +220,10 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4)._3 == "fr")
     assert(out(5)._3 == "es")
     assert(out(6)._3 == "zh") // CJK channel, stopwords never fire
+    // zero evidence -> "und", never a confident alphabetical-first label
+    assert(out(7)._3 == "und")
+    // tabs/newlines/doubled spaces split like spaces ("the" still hits)
+    assert(out(8)._1 == 4 && out(8)._3 == "en")
   }
 
   test("multimodal plumbing: schema, determinism, frame sampling") {
