@@ -29,7 +29,10 @@ object BuildOnce {
     IndexBuilder.build(spark, Corpus.generate(spark, 20000, partitions = cpus * 2),
       java.nio.file.Files.createTempDirectory("graftwarm").toString,
       IndexBuilder.Config(numSegments = 16))
-    val corpus = Corpus.generate(spark, numDocs, partitions = cpus * 4)
+    // input splits are DATA-driven (like files.maxPartitionBytes), not
+    // cluster-driven: the N and 4N levels must run the identical job
+    val corpusParts = sys.env.getOrElse("GRAFT_CORPUS_PARTS", "64").toInt
+    val corpus = Corpus.generate(spark, numDocs, partitions = corpusParts)
     val positions = sys.env.getOrElse("GRAFT_POSITIONS", "1") == "1"
     var bestRate = 0.0
     var bestSec = 0.0

@@ -31,7 +31,16 @@ object Ltr {
 
   final case class Ensemble(featureNames: Array[String], trees: Array[Tree]) {
     /** Mean of tree outputs; the per-tree sum folds left in tree order
-      * (the oracle's SQL parenthesizes identically). */
+      * (the oracle's SQL parenthesizes identically).
+      *
+      * Known constant-shift divergence from the reference: at model
+      * load the reference adds a per-tree offset of |min leaf|+1 to
+      * every leaf before averaging (lambdamart.rs:157-175 — it wants
+      * strictly-positive scores). Ranking order is IDENTICAL (a
+      * constant per-tree shift moves every doc's score equally), but
+      * absolute scores differ by Σ(|min_t|+1)/T — do not compare raw
+      * predict() values across engines or against score thresholds
+      * tuned on the reference. */
     def predict(values: Map[String, Double]): Double = {
       if (trees.isEmpty) return 0.0 // a hand-built empty ensemble is a no-op, not NaN
       val f = (i: Int) => values.getOrElse(featureNames(i), 0.0)
@@ -45,8 +54,13 @@ object Ltr {
 
   /** Parse the LightGBM-style text layout:
     * header lines (must include `feature_names=a b c`), blank line,
-    * tree blocks (`tree` then key=value lines) separated by blank
-    * lines, terminated by `end of trees`. */
+    * tree blocks of key=value lines separated by blank lines,
+    * terminated by `end of trees`. Mirrors the reference parser's
+    * tolerance (lambdamart.rs Tree::parse splits on '=' and skips
+    * anything else): a genuine LightGBM dump opens each block with
+    * `Tree=0` (an ignored key), the toy layout with a bare `tree`
+    * (a no-op line) — both parse; any block carrying the recognized
+    * per-tree arrays becomes a tree, other lines are ignored. */
   def parse(text: String): Ensemble = {
     val lines = text.linesIterator.toArray
     val headerEnd = lines.indexWhere(_.trim.isEmpty)
@@ -62,11 +76,10 @@ object Ltr {
     while (i < endTrees) {
       while (i < endTrees && lines(i).trim.isEmpty) i += 1
       if (i < endTrees) {
-        if (lines(i).trim != "tree") throw ParseError(s"expected 'tree' at line $i")
-        i += 1
         var sf = Array.empty[Int]; var th = Array.empty[Double]
         var lc = Array.empty[Int]; var rc = Array.empty[Int]
         var lv = Array.empty[Double]
+        var sawArray = false
         while (i < endTrees && lines(i).trim.nonEmpty) {
           val l = lines(i).trim
           val eq = l.indexOf('=')
@@ -77,16 +90,21 @@ object Ltr {
             def dbls = if (vals.isEmpty) Array.empty[Double]
                        else vals.split("\\s+").map(_.toDouble)
             l.substring(0, eq) match {
-              case "split_feature" => sf = ints
-              case "threshold"     => th = dbls
-              case "left_child"    => lc = ints
-              case "right_child"   => rc = ints
-              case "leaf_value"    => lv = dbls
-              case _               => () // num_leaves etc. — ignored
+              case "split_feature" => sf = ints; sawArray = true
+              case "threshold"     => th = dbls; sawArray = true
+              case "left_child"    => lc = ints; sawArray = true
+              case "right_child"   => rc = ints; sawArray = true
+              case "leaf_value"    => lv = dbls; sawArray = true
+              case _               => () // Tree=N, num_leaves etc. — ignored
             }
-          }
+          } // a bare 'tree' / stray text line is a no-op, like the
+            // reference's split_once('=') skip
           i += 1
         }
+        if (!sawArray) {
+          // a block with none of the per-tree arrays (e.g. a stray
+          // comment section) is not a tree at all — skip it
+        } else {
         if (lv.isEmpty) throw ParseError("tree without leaf_value")
         if (sf.length != th.length || sf.length != lc.length ||
             sf.length != rc.length)
@@ -108,6 +126,7 @@ object Ltr {
             throw ParseError(s"leaf ${-child - 1} beyond ${lv.length} leaves")
         }
         trees += Tree(sf, th, lc, rc, lv)
+        }
       }
     }
     if (trees.isEmpty) throw ParseError("no trees")

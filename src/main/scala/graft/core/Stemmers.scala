@@ -3,16 +3,25 @@ package graft.core
 /** Multi-language stemming (reference: Snowball stemmers selected per
   * document language, crates/core/src/schema/text_field.rs:294-326 +
   * tokenizer/fields/stemmed.rs; the reference links 17 languages from
-  * the tantivy/rust-stemmers crate). This file re-derives the published
-  * Snowball algorithms (snowballstem.org) for all 16 of the
-  * reference's dispatched languages; English remains the PorterStemmer. Unsupported
-  * languages fall back to English, like the reference's
+  * the tantivy/rust-stemmers crate). English remains the PorterStemmer;
+  * unsupported languages fall back to English, like the reference's
   * `unwrap_or(Lang::Eng)` paths.
   *
-  * Fidelity note: these are from-scratch implementations of the
-  * published algorithm descriptions, verified by hand-checked common
-  * vectors in StemmerSpec (the sandbox has no Snowball binary to diff
-  * against); they intentionally favor the documented mainline rules. */
+  * Fidelity note — two tiers (be precise about which claim holds):
+  *  - FULL re-derivations of the published Snowball algorithm
+  *    descriptions (snowballstem.org): de, fr, es, ru, pt, it, nl, sv,
+  *    da, ro, fi, hu, tr — mainline rules plus the documented region
+  *    (R1/R2/RV) machinery, verified by hand-checked conflation
+  *    vectors in StemmerSpec (no Snowball binary in the sandbox to
+  *    diff against).
+  *  - MAINLINE-RULE APPROXIMATIONS: el, ar, ta implement the core
+  *    suffix-stripping passes but omit the long exception lists of the
+  *    published algorithms (their own docstrings say so) — stemmed-
+  *    field terms for these languages will NOT match rust-stemmers
+  *    output on exception words, so a cross-engine index comparison
+  *    disagrees there. Promoting one to full fidelity changes its
+  *    stemmed terms and needs the same deliberate golden-fixture
+  *    regeneration as any forLanguage change. */
 object Stemmers {
 
   /** Language dispatch (ISO 639-1 codes and a few names). Unknown

@@ -65,6 +65,11 @@ object IndexBuilder {
         * newline-tokenizes webpage.keywords), so TopKeyPhrases serves
         * from the stored term dictionary instead of re-running RAKE. */
       indexKeyPhrases: Boolean = false,
+      /** index each doc's outgoing-link targets (`SourceDoc.links`) as
+        * identity terms of the Link shadow field, so `linksto:target`
+        * lowers to a must clause (reference link fields + operator
+        * lowering, plan/node.rs:128-172). */
+      indexLinks: Boolean = false,
       /** Optional per-repo centrality scores (e.g. the output of
         * ops.Centrality.harmonicExact over a repo dependency graph),
         * broadcast into docid assignment: scored repos sort by
@@ -89,7 +94,8 @@ object IndexBuilder {
   /** Public: Spark codegen needs accessor visibility on encoder types. */
   final case class Tagged(segment: Int, sortKey: Long, repo: String,
                           path: String, commit: String, lang: String,
-                          content: String, props: String = "")
+                          content: String, props: String = "",
+                          links: Seq[String] = Seq.empty)
 
   /** FNV-1a 64-bit — stable across Spark/JVM versions, unlike
     * Murmur3-based Spark `hash()` which is only stable per version. */
@@ -414,7 +420,7 @@ object IndexBuilder {
           (c << 40) | (base >>> 24)
         }
       Tagged(segmentOf(d.repo, d.path, S), key,
-        d.repo, d.path, d.commit, d.lang, d.content, d.props)
+        d.repo, d.path, d.commit, d.lang, d.content, d.props, d.links)
     }
 
     // batches are a STABLE grouping of all segments (independent of what
@@ -441,15 +447,27 @@ object IndexBuilder {
         // over-partition well beyond the segment count: hash placement of S
         // segment keys into exactly S partitions leaves ~37% empty and some
         // with 3-4 segments (straggler waves); at 4x, surplus partitions are
-        // cheap no-ops and the max per-task load stays ~1-2 segments
-        val parts = math.max(spark.sparkContext.defaultParallelism,
-          math.min(batch.size * 4, 4096))
+        // cheap no-ops and the max per-task load stays ~1-2 segments.
+        // DATA-driven, never cluster-size-driven: the partition count is a
+        // property of the dataset (like files.maxPartitionBytes sizing), so
+        // the same build is bit- and plan-identical at any executor count —
+        // the north-rule N-vs-4N comparison must run the IDENTICAL job at
+        // both levels (a cores-derived count was tried and distorted the
+        // ratio by giving the small level a cheaper job).
+        val parts = sys.env.get("GRAFT_BUILD_PARTS").map(_.toInt)
+          .getOrElse(math.max(spark.sparkContext.defaultParallelism,
+            math.min(batch.size * 4, 4096)))
         val staged = s"${stagingDir(outDir)}/$tag"
+        val tw0 = System.nanoTime()
         writeSegments(slice, parts, staged, cfg)
+        val ta0 = System.nanoTime()
         adoptStaged(staged, outDir, tag)
+        val tr0 = System.nanoTime()
 
         // commit manifests for this batch (checkpoint + lineage)
         val stats = readStats(spark, outDir).filter(s => batchSet.contains(s.segment))
+        if (sys.env.getOrElse("GRAFT_BUILD_TIMING", "0") == "1")
+          println(f"GRAFT_TIMING write=${(ta0 - tw0) / 1e9}%.2f adopt=${(tr0 - ta0) / 1e9}%.2f stats=${(System.nanoTime() - tr0) / 1e9}%.2f")
         stats.foreach(writeManifest(outDir, _))
         // segments with zero input rows still need a manifest to be "done"
         val seen = stats.map(_.segment).toSet
@@ -499,6 +517,7 @@ object IndexBuilder {
     val metaF = cfg.indexMeta
     val jsonF = cfg.indexJson
     val keyPhrasesF = cfg.indexKeyPhrases
+    val linksF = cfg.indexLinks
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
@@ -506,7 +525,7 @@ object IndexBuilder {
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
         new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF,
-          trigramF, simhashF, metaF, jsonF, keyPhrasesF)
+          trigramF, simhashF, metaF, jsonF, keyPhrasesF, linksF)
       }
       .write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(stageOut)
@@ -530,7 +549,8 @@ object IndexBuilder {
                                      computeSimhash: Boolean,
                                      indexMeta: Boolean,
                                      indexJson: Boolean = false,
-                                     indexKeyPhrases: Boolean = false)
+                                     indexKeyPhrases: Boolean = false,
+                                     indexLinks: Boolean = false)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
@@ -656,6 +676,13 @@ object IndexBuilder {
         // counted into content stats, like the meta fields)
         Tokenizers.flattenJson(t.props)
           .foreach(tok => table.token(Fields.jsonTerm(tok), 0))
+      }
+      if (indexLinks && t.links.nonEmpty) {
+        // outgoing-link targets as identity terms (positions at 0, not
+        // counted into content stats, like the meta fields). Callers
+        // pass DISTINCT targets; duplicates would bump tf and shift the
+        // term's BM25 for no semantic reason.
+        t.links.foreach(l => table.token(Fields.linkTerm(l), 0))
       }
       if (indexKeyPhrases) {
         // per-doc RAKE keywords, each whole phrase ONE term (reference

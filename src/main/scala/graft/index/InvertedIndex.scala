@@ -479,6 +479,12 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     case "inurl" | "path"         => Some(Tokenizers.default(v).map(Fields.urlTerm).toSeq)
     case "intitle" | "file"       => Some(Tokenizers.default(v).map(Fields.titleTerm).toSeq)
     case "inbody"                 => Some(Tokenizers.default(v).toSeq)
+    case "linksto" | "linkto"     =>
+      // restrict to docs whose outgoing links hit the target (the
+      // reference lowers these to its link fields, plan/node.rs:128-172;
+      // code-corpus analog: repo dependency-edge targets, indexed under
+      // Config.indexLinks)
+      Some(Seq(Fields.linkTerm(v)))
     case "json" | "props"         =>
       // json:path=value (value optionally quoted) -> the flattened-leaf
       // identity term `path="value"`; bare json:path matches null leaves
@@ -743,11 +749,12 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * Returns hits with their full signal vectors (the reference's
     * ranking explainability surface).
     *
-    * Known approximation: the CentralityRank transform runs on the
-    * SEGMENT-LOCAL docid (docids are assigned per segment in global
-    * static-rank order, so the rank restarts at 0 in every segment);
-    * the reference's rank is global. Exact only for single-segment
-    * indexes; the oracle (q_engine_signals) pins this semantics. */
+    * The CentralityRank transform runs on the GLOBAL static-rank
+    * ordinal (count of docs preceding the candidate in the index-wide
+    * (sortKey desc, repo, path, commit) order — the docid-assignment
+    * order), so the rank is continuous across segments exactly like the
+    * reference's; see rankSignalsOver for the counting pass. The oracle
+    * (q_engine_signals) pins this semantics. */
   def rankSignals(query: String, k: Int,
                   coeffs: Map[String, Double] = Signals.DefaultCoefficients,
                   minusTerms: Seq[String] = Nil)
@@ -881,13 +888,36 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     val segs = perCand.map(_._1).distinct.toSeq
     val meta = docs.filter($"segment".isin(segs: _*))
       .join(broadcast(candDF), Seq("segment", "docId"))
-      .select($"segment", $"docId", $"repo", $"path", $"sortKey")
+      .select($"segment", $"docId", $"repo", $"path", $"sortKey", $"commit")
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getString(2), r.getString(3), r.getLong(4)))
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getString(2), r.getString(3), r.getLong(4), r.getString(5)))
       .toMap
 
+    // GLOBAL static rank (the reference ranks its centrality ordinal
+    // across the whole index, not per segment): rank(cand) = number of
+    // docs strictly preceding it in the global (sortKey desc, repo,
+    // path, commit) order — the exact order docids are assigned in, so
+    // it is exact for ANY segmentation and continuous across segments.
+    // One narrow 4-column doc-table pass against the broadcast
+    // candidate keys (O(N·k) codegen'd compares, no global sort task,
+    // no shuffle beyond the tiny count agg); a latency-critical serving
+    // deployment would materialize the ordinal at build instead and pay
+    // the extra terasort there.
+    val candKeyDF = spark.createDataset(meta.toSeq.map { case ((seg, id), (rp, pt, sk, cm)) =>
+      (seg, id, sk, rp, pt, cm)
+    }).toDF("cseg", "cdoc", "csk", "crepo", "cpath", "ccommit")
+    val granks: Map[(Int, Int), Long] =
+      docs.join(broadcast(candKeyDF),
+          $"sortKey" > $"csk" ||
+            ($"sortKey" === $"csk" &&
+              struct($"repo", $"path", $"commit") <
+                struct($"crepo", $"cpath", $"ccommit")))
+        .groupBy($"cseg", $"cdoc").count()
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
     val scored = perCand.map { r =>
-      val (repo, path, sortKey) = meta((r._1, r._2))
+      val (repo, path, sortKey, _) = meta((r._1, r._2))
       val slashes = path.count(_ == '/').toDouble
       val digits = path.count(_.isDigit).toDouble
       val values = Map(
@@ -896,7 +926,8 @@ final class InvertedIndex(spark: SparkSession, dir: String,
         Signals.Bm25Stemmed -> r._7, Signals.IdfSumUrl -> r._8,
         Signals.IdfSumRepo -> r._9,
         Signals.Centrality -> Signals.centralityOf(sortKey),
-        Signals.CentralityRank -> Signals.scoreRank(r._2.toDouble),
+        Signals.CentralityRank ->
+          Signals.scoreRank(granks.getOrElse((r._1, r._2), 0L).toDouble),
         Signals.UrlSlashes -> Signals.scoreCount(slashes),
         Signals.UrlDigits -> Signals.scoreCount(digits))
       (r._1, r._2, repo, path, values, Signals.linear(values, coeffs))

@@ -6,10 +6,15 @@ import graft.core.PostingListData
   * an Iceberg-style table of source code. `props` is an OPTIONAL json
   * metadata column (defaults empty, absent from the required shape);
   * with Config.indexJson its flattened leaves index as searchable
-  * terms (reference text_field.rs:1197-1240). */
+  * terms (reference text_field.rs:1197-1240). `links` is an OPTIONAL
+  * list of outgoing-link targets (the repo's dependency edges, joined
+  * on by the caller from the same edge table ops.Centrality consumes);
+  * with Config.indexLinks each target indexes as an identity term so
+  * `linksto:target` lowers to a must clause. */
 final case class SourceDoc(repo: String, path: String, commit: String,
                            lang: String, content: String,
-                           props: String = "")
+                           props: String = "",
+                           links: Seq[String] = Seq.empty)
 
 /** Row-store entry: one per document, per segment, doc ids dense from 0
   * in precomputed-score order (the score-sorted-docids invariant,

@@ -67,7 +67,15 @@ object SegmentMerge {
     // crashed merge re-run re-stages wholesale, a committed one is a
     // no-op — bare Append into the data dir would duplicate every row
     // on retry
-    val tag = s"merge${stats.head.segment}-${stats.last.segment}-f$fanIn"
+    // the tag folds the FULL filtered input set and its sha256 lineage,
+    // not just the endpoint segment ids: two merges into the same
+    // outDir that share endpoints but differ in membership or content
+    // (a TTL filter dropping only middle segments; re-compacting the
+    // same range after new data) must commit under DISTINCT markers —
+    // an endpoint-only tag silently skipped them as already done
+    val lineage = IndexBuilder.fnv1a64(
+      stats.map(s => s"${s.segment}:${s.sha256Agg}").mkString(","))
+    val tag = f"merge${stats.head.segment}-${stats.last.segment}-f$fanIn-$lineage%016x"
     if (IndexBuilder.batchCommitted(outDir, tag)) return
     val staged = s"${IndexBuilder.stagingDir(outDir)}/$tag"
     val newSegOf: Int => Int = old => old / fanIn

@@ -46,7 +46,7 @@ object LiveIndex {
       IndexBuilder.Tagged(
         base + IndexBuilder.segmentOf(d.repo, d.path, SegsPerBatch),
         IndexBuilder.sortKeyOf(d.repo, d.path, d.commit),
-        d.repo, d.path, d.commit, d.lang, d.content, d.props)
+        d.repo, d.path, d.commit, d.lang, d.content, d.props, d.links)
     }
     val staged = s"${IndexBuilder.stagingDir(dir)}/$tag"
     IndexBuilder.writeSegments(tagged, SegsPerBatch * 2, staged, cfg)

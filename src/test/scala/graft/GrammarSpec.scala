@@ -71,6 +71,36 @@ class GrammarSpec extends AnyFunSuite {
     assert(idx.searchParsed("json:k=9", 10).isEmpty)
   }
 
+  test("linksto:/linkto: lowers to Link-field terms and filters by outgoing links") {
+    import spark.implicits._
+    val docs = Seq(
+      SourceDoc("app-a", "main.rs", "c", "rust", "alpha uses the parser",
+        links = Seq("libfoo", "libbar")),
+      SourceDoc("app-b", "main.rs", "c", "rust", "beta uses the parser",
+        links = Seq("libfoo")),
+      SourceDoc("app-c", "main.rs", "c", "rust", "gamma standalone parser",
+        links = Seq.empty))
+    val dir = java.nio.file.Files.createTempDirectory("graftlk").toString
+    IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      IndexBuilder.Config(numSegments = 1, indexLinks = true))
+    val idx = new InvertedIndex(spark, dir)
+    // lowering: linksto:/linkto: -> one Link identity term, case-folded
+    val (_, _, _, ops) = idx.parseOps("linksto:LibFoo")
+    assert(ops == Seq(Fields.linkTerm("libfoo")))
+    assert(idx.parseOps("linkto:libbar")._4 == Seq(Fields.linkTerm("libbar")))
+    // membership: must clause over the Link field
+    assert(idx.searchParsed("linksto:libfoo", 10).map(_.repo).toSet ==
+      Set("app-a", "app-b"))
+    assert(idx.searchParsed("linksto:libbar", 10).map(_.repo).toSet == Set("app-a"))
+    assert(idx.searchParsed("linksto:libzz", 10).isEmpty)
+    // composes with scoring terms and negation
+    assert(idx.searchParsed("linksto:libfoo beta", 10).head.repo == "app-b")
+    assert(idx.searchParsed("-linksto:libfoo parser", 10).map(_.repo).toSet ==
+      Set("app-c"))
+    // the Link field is scoped: a plain-text query never matches targets
+    assert(idx.searchParsed("libfoo", 10).isEmpty)
+  }
+
   test("intitle:/file: matches file-name tokens only") {
     val base = docs.head.path.substring(docs.head.path.lastIndexOf('/') + 1)
     val tok = Tokenizers.default(base).find(_.length > 2).get

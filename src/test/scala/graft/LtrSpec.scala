@@ -37,6 +37,52 @@ class LtrSpec extends AnyFunSuite {
     assert(m.trees(1).splitFeature.isEmpty && m.trees(1).leaf.toSeq == Seq(4.0))
   }
 
+  test("parse accepts genuine LightGBM 'Tree=N' block headers") {
+    // a real `model.txt` dump opens blocks with Tree=0 / Tree=1 and
+    // carries extra key=value lines; the parser must skip what it does
+    // not know (the reference's split_once('=') behavior) instead of
+    // demanding a literal 'tree' token
+    val lgbm =
+      """tree
+        |version=v4
+        |num_class=1
+        |feature_names=f0 f1
+        |
+        |Tree=0
+        |num_leaves=3
+        |num_cat=0
+        |split_feature=0 1
+        |split_gain=12.5 3.25
+        |threshold=1.5 0.25
+        |decision_type=2 2
+        |left_child=1 -1
+        |right_child=-2 -3
+        |leaf_value=10.0 20.0 30.0
+        |leaf_weight=5 5 5
+        |internal_value=0 0
+        |shrinkage=0.1
+        |
+        |Tree=1
+        |num_leaves=1
+        |split_feature=
+        |threshold=
+        |left_child=
+        |right_child=
+        |leaf_value=4.0
+        |
+        |end of trees
+        |
+        |feature_importances:
+        |f0=7""".stripMargin
+    val m = Ltr.parse(lgbm)
+    assert(m.featureNames.toSeq == Seq("f0", "f1"))
+    assert(m.trees.length == 2)
+    // identical semantics to the toy layout: same trees, same predict
+    val toy = Ltr.parse(text)
+    assert(m.predict(Map("f0" -> 1.0, "f1" -> 0.25)) ==
+      toy.predict(Map("f0" -> 1.0, "f1" -> 0.25)))
+  }
+
   test("predict: traversal, tie-on-threshold goes left, missing reads 0") {
     val m = Ltr.parse(text)
     // f0 <= 1.5 -> node1; f1 <= 0.25 -> leaf0 (10); +4 const; /2

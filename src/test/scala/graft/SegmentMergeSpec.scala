@@ -109,6 +109,40 @@ class SegmentMergeSpec extends AnyFunSuite {
     assert(again.search("spark session", 10, "or").toSeq == hitsBefore)
   }
 
+  test("merge identity covers the full input set, not just endpoints") {
+    // two filtered merges sharing first/last segment ids but differing
+    // in membership are DIFFERENT merges: the endpoint-only tag used to
+    // satisfy the second from the first's marker, silently skipping it
+    // (ADVICE r04). Lineage-hashed tags commit each set separately,
+    // while a true re-run of the same set stays a no-op.
+    val out = tmpDir()
+    def markers(): Seq[String] =
+      Option(new java.io.File(IndexBuilder.manifestDir(out)).listFiles())
+        .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("batch-merge")).toSeq
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 6, segFilter = _ != 2)
+    assert(markers().size == 1)
+    // exact re-run of the same filtered set: idempotent no-op
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 6, segFilter = _ != 2)
+    assert(markers().size == 1)
+    // same endpoints (0..5), different middle: must NOT be skipped
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 6, segFilter = _ != 3)
+    assert(markers().size == 2, "a different input set must commit its own marker")
+  }
+
+  test("merged segments preserve exact per-doc numTokens (end-anchor contract)") {
+    // Content END-anchored patterns read DocRow.numTokens for the exact
+    // token count; a merge that bucketed or recomputed it would silently
+    // break end-anchored matches on compacted indexes
+    val out = tmpDir()
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 3)
+    val merged = new InvertedIndex(spark, out)
+    import spark.implicits._
+    val before = srcIdx.docs.map(d => ((d.repo, d.path), d.numTokens)).collect().toMap
+    val after = merged.docs.map(d => ((d.repo, d.path), d.numTokens)).collect().toMap
+    assert(after.size == before.size)
+    assert(after == before, "numTokens must survive the merge bit-exactly")
+  }
+
   test("mixed recordPositions segments refuse to merge loudly") {
     import spark.implicits._
     val dir = tmpDir()

@@ -36,6 +36,16 @@ class SignalSpec extends AnyFunSuite {
       p.length == 2 && p(0) == a && p(1) == b)).toLong
     def urlDf(x: String) = docs.count(d => Tokenizers.default(d._1.path).contains(x)).toLong
 
+    // brute-force GLOBAL static rank: docs preceding in the index-wide
+    // (sortKey desc, repo, path, commit) order — continuous across the
+    // 3 segments (the reference ranks globally, not per segment)
+    val globalOrder = docs.map(_._1)
+      .sortBy(d => (IndexBuilder.sortKeyOf(d.repo, d.path, d.commit),
+        d.repo, d.path, d.commit))(
+        Ordering.Tuple4(Ordering.Long.reverse, Ordering.String,
+          Ordering.String, Ordering.String))
+      .zipWithIndex.map { case (d, i) => (d.repo, d.path) -> i.toLong }.toMap
+
     got.foreach { case (hit, values) =>
       val (d, toks) = docs.find(x => x._1.repo == hit.repo && x._1.path == hit.path).get
       val fnId = FieldNorm.fieldNormToId(toks.length.toLong)
@@ -81,7 +91,8 @@ class SignalSpec extends AnyFunSuite {
         Signals.IdfSumUrl -> idfUrl, Signals.IdfSumRepo -> 0.0,
         Signals.Centrality -> Signals.centralityOf(
           IndexBuilder.sortKeyOf(d.repo, d.path, d.commit)),
-        Signals.CentralityRank -> Signals.scoreRank(hit.docId.toDouble),
+        Signals.CentralityRank ->
+          Signals.scoreRank(globalOrder((d.repo, d.path)).toDouble),
         Signals.UrlSlashes -> Signals.scoreCount(d.path.count(_ == '/').toDouble),
         Signals.UrlDigits -> Signals.scoreCount(d.path.count(_.isDigit).toDouble))
       expect.foreach { case (k, v) =>
