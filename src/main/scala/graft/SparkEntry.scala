@@ -114,6 +114,24 @@ object SparkEntry {
       new InvertedIndex(s, out)
     })
 
+  // transient engine index with the build-time quality classification
+  // (safe-search analog) over the doc_id<500 slice
+  private val qualIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, InvertedIndex]()
+
+  private def qualityIndex(s: SparkSession, dir: String): InvertedIndex =
+    qualIdxCache.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select("doc_id", "source", "lang", "text")
+        .as[(Long, String, String, String)]
+        .map { case (id, src, lang, text) => SourceDoc(id.toString, src, "", lang, text) }
+      val out = java.nio.file.Files.createTempDirectory("graftqidx").toString
+      IndexBuilder.build(s, docs, out,
+        IndexBuilder.Config(numSegments = 2, indexQuality = true))
+      new InvertedIndex(s, out)
+    })
+
   /** Bench warmup hook: pays the one-time costs the driver-flow suite
     * would otherwise charge to whichever entry alphabetically touches
     * them first — the full `documents` text scan (parquet footer cache
@@ -273,6 +291,31 @@ object SparkEntry {
       tokensDF(s, d).join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
         .groupBy("lang").agg(countDistinct("term").as("vocab"))
         .orderBy("lang")
+    }),
+    "q_kahan_sum" -> ((s, d) => {
+      // compensated-sum face (reference kahan_sum.rs, used by the
+      // harmonic-centrality accumulators): an adversarial column —
+      // paired ±1e16 spikes drowning unit addends — whose EXACT sum is
+      // the integer count of ordinary rows. Like the sketch faces, the
+      // cross-engine contract is the ERROR BOUND: Kahan's bound is
+      // 2·eps·Σ|x| (≈4 here, order-independent incl. partial-agg
+      // merges), while an uncompensated double sum can lose every unit
+      // addend sharing a partition with a spike (~hundreds, partition-
+      // order-dependent). The oracle recomputes the exact side and
+      // asserts the flag; OpsSpec pins the exact-loss contrast.
+      val mod = col("event_id") % 200
+      val v = t(s, d, "events").where(col("event_id") < 1000)
+        .select(mod.as("mod"),
+          when(mod === 0, lit(1e16))
+            .when(mod === 100, lit(-1e16))
+            .otherwise(lit(1.0)).as("v"))
+      v.agg(
+          sum(when(col("mod") =!= 0 && col("mod") =!= 100, 1L)
+            .otherwise(0L)).as("expected"),
+          graft.ops.Kahan.sumCol(col("v")).as("kahan"))
+        .select(col("expected"),
+          (abs(col("kahan") - col("expected").cast("double")) <= lit(1000.0))
+            .as("within_bound"))
     }),
     "q_bigrams" -> ((s, d) => {
       // adjacent pairs with NO per-position string building: zip the
@@ -638,6 +681,31 @@ object SparkEntry {
           "doc_id", "text")
         .select(col("id"), col("simhash").cast("string").as("sig"))
         .orderBy("id")
+    }),
+    "q_webgraph" -> ((s, d) => {
+      // webgraph construction (reference crates/core/src/webgraph/):
+      // per-doc outgoing links aggregate into the weighted repo-level
+      // edge table the centrality jobs consume. Repos group 5 docs so
+      // the aggregation produces real weights; links derive from the
+      // same deterministic formulas as centralityEdges.
+      import s.implicits._
+      val docs = t(s, d, "documents").where(col("doc_id") < 500)
+        .select("doc_id", "source", "lang", "text")
+        .as[(Long, String, String, String)]
+        .map { case (id, src, lang, text) =>
+          val targets = Seq((id * 7 + 3) % 500, (id * 13 + 11) % 500,
+              (id * 29 + 17) % 500)
+            .filter(_ != id).distinct.map(t => "r" + (t / 5))
+          SourceDoc("r" + (id / 5), src, "", lang, text, links = targets)
+        }
+      graft.ops.Webgraph.repoGraph(docs).orderBy("src", "dst")
+    }),
+    "q_engine_safesearch" -> ((s, d) => {
+      // safe-search analog (reference query/mod.rs:110-118): `safe:on`
+      // lowers to a must-not over the build-time low-quality marker
+      // term; ranking of the surviving docs is untouched BM25
+      val idx = qualityIndex(s, d)
+      canonicalTopK(s, 30)(n => idx.searchParsed("safe:on table", n))
     }),
     "q_engine_links" -> ((s, d) => {
       // `linksto:` — the reference's link-field operator
@@ -1873,6 +1941,36 @@ object SparkEntry {
     * is the event_type, so the whole tokenize->build->bool path is
     * exercised with an exactly replicable score. Matches (7 docs) stay
     * under k, so membership is tie-free and ordering canonical. */
+  /** q_engine_safesearch oracle: membership = docs containing the query
+    * term MINUS the build-time low-quality bucket (under 5 tokens, or
+    * 3·distinct <= tokens — Fields.lowQuality exactly); scores are the
+    * UNFILTERED single-term BM25 (df counts every doc with the term:
+    * the must-not changes membership, never the posting statistics,
+    * exactly like the engine). */
+  private def engineSafeSearchOracleSql: String = {
+    val fnValues = graft.core.FieldNorm.Table.map(v => s"($v)").mkString(",")
+    s"""WITH ev AS (SELECT doc_id,
+       |              list_filter(string_split(lower(text), ' '),
+       |                          x -> x <> '') AS tk
+       |            FROM documents WHERE doc_id < 500),
+       |ev2 AS (SELECT doc_id, len(tk) AS dl, len(list_distinct(tk)) AS dn,
+       |               len(list_filter(tk, x -> x = 'table')) AS tf
+       |        FROM ev),
+       |st AS (SELECT (SELECT count(*) FROM ev2) AS n,
+       |              CAST((SELECT sum(dl) FROM ev2) AS REAL)
+       |                / CAST((SELECT count(*) FROM ev2) AS REAL) AS avg),
+       |fnt AS (SELECT * FROM (VALUES $fnValues) t(v)),
+       |fnid AS (SELECT e.doc_id, max(f.v) AS fn
+       |         FROM ev2 e JOIN fnt f ON f.v <= e.dl GROUP BY 1),
+       |dfq AS (SELECT count(*) AS df FROM ev2 WHERE tf > 0),
+       |mt AS (SELECT doc_id, tf FROM ev2
+       |       WHERE tf > 0 AND NOT (dl < 5 OR 3 * dn <= dl)),
+       |tot AS (SELECT m.doc_id,
+       |        ${bmScoreSql("m.tf", "dfq.df", "fnid.fn", "st.avg")} AS score
+       |        FROM mt m JOIN fnid ON fnid.doc_id = m.doc_id, dfq, st)
+       |${rankedTopK(30)}""".stripMargin
+  }
+
   /** q_engine_links oracle: the linksto:17 must clause is a single
     * identity term with tf=1 (targets are distinct per doc), df = the
     * deterministic linker count, scored by content-field BM25 exactly
@@ -2193,6 +2291,11 @@ object SparkEntry {
          |       TRUE AS within_bound
          |FROM tok t JOIN documents d ON t.doc_id = d.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_kahan_sum" ->
+      """SELECT count(*) AS expected, TRUE AS within_bound
+        |FROM events
+        |WHERE event_id < 1000 AND event_id % 200 <> 0
+        |  AND event_id % 200 <> 100""".stripMargin,
     "q_bigrams" ->
       """WITH pos AS (
         |  SELECT doc_id,
@@ -2433,6 +2536,21 @@ object SparkEntry {
     "q_spell" -> spellOracleSql,
     "q_engine_json" -> engineJsonOracleSql,
     "q_engine_links" -> engineLinksOracleSql,
+    "q_engine_safesearch" -> engineSafeSearchOracleSql,
+    // per-doc raw-id links dedup BEFORE the repo mapping (two formulas
+    // can hit one repo through different raw targets — both count),
+    // self-loops drop at raw level AND repo level, like the face
+    "q_webgraph" ->
+      """WITH n AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+        |l0 AS (
+        |  SELECT doc_id, (doc_id * 7 + 3) % 500 AS t FROM n
+        |  UNION SELECT doc_id, (doc_id * 13 + 11) % 500 FROM n
+        |  UNION SELECT doc_id, (doc_id * 29 + 17) % 500 FROM n),
+        |l1 AS (SELECT doc_id, t FROM l0 WHERE t <> doc_id),
+        |e AS (SELECT 'r' || CAST(doc_id // 5 AS VARCHAR) AS src,
+        |             'r' || CAST(t // 5 AS VARCHAR) AS dst FROM l1)
+        |SELECT src, dst, count(*) AS weight FROM e WHERE src <> dst
+        |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
     "q_json_tokens" ->
       """SELECT event_id, 'k="' || json_extract_string(props, '$.k') || '"' AS token
         |FROM events WHERE event_id < 500 ORDER BY event_id, token""".stripMargin,

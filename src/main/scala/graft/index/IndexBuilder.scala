@@ -70,6 +70,17 @@ object IndexBuilder {
         * lowers to a must clause (reference link fields + operator
         * lowering, plan/node.rs:128-172). */
       indexLinks: Boolean = false,
+      /** classify each doc at build time and mark low-quality ones with
+        * the Fields.QualityLowTerm marker term, so `safe:on` lowers to
+        * a must-not over it — the safe-search analog (reference
+        * query/mod.rs:110-118; no NSFW signal exists in a code corpus,
+        * the quality gate stands in). */
+      indexQuality: Boolean = false,
+      /** persist the index-wide static-rank ordinal (GlobalRank) so
+        * rankSignals serves CentralityRank from a keyed lookup instead
+        * of its per-query counting pass — one extra narrow
+        * doc-metadata range shuffle at build; same ranks either way. */
+      storeGlobalRank: Boolean = false,
       /** Optional per-repo centrality scores (e.g. the output of
         * ops.Centrality.harmonicExact over a repo dependency graph),
         * broadcast into docid assignment: scored repos sort by
@@ -480,6 +491,13 @@ object IndexBuilder {
     }
 
     val allStats = readStats(spark, outDir)
+    // serving-tier global static-rank ordinal: derived data computed
+    // AFTER the batch markers (a crash here just loses the derived
+    // table; the index itself is already committed, and rankSignals
+    // degrades to its counting pass until a re-run re-derives it).
+    // Recompute-on-resume is idempotent overwrite.
+    if (cfg.storeGlobalRank && allStats.exists(_.numDocs > 0))
+      GlobalRank.write(spark, outDir)
     // skipped counts batch-marker skips only: segment manifests without
     // a batch marker (a crashed pre-marker run) are REBUILT, so they
     // must not report as skipped
@@ -518,6 +536,7 @@ object IndexBuilder {
     val jsonF = cfg.indexJson
     val keyPhrasesF = cfg.indexKeyPhrases
     val linksF = cfg.indexLinks
+    val qualityF = cfg.indexQuality
     import tagged.sparkSession.implicits._
     tagged
       .repartition(parts, col("segment"))
@@ -525,7 +544,7 @@ object IndexBuilder {
         col("repo"), col("path"), col("commit"))
       .mapPartitions { it =>
         new SegmentEmitter(it, maxShard, fnChunk, recordPos, stemmedF, bigramF,
-          trigramF, simhashF, metaF, jsonF, keyPhrasesF, linksF)
+          trigramF, simhashF, metaF, jsonF, keyPhrasesF, linksF, qualityF)
       }
       .write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(stageOut)
@@ -550,7 +569,8 @@ object IndexBuilder {
                                      indexMeta: Boolean,
                                      indexJson: Boolean = false,
                                      indexKeyPhrases: Boolean = false,
-                                     indexLinks: Boolean = false)
+                                     indexLinks: Boolean = false,
+                                     indexQuality: Boolean = false)
       extends Iterator[BuildRow] {
     private var pending: Iterator[BuildRow] = Iterator.empty
     private var curSeg = -1
@@ -648,13 +668,19 @@ object IndexBuilder {
       // through the same table via the default tokenizer
       var simhash = 0L
       val nTok =
-        if (!indexStemmed && !indexBigrams && !indexTrigrams && !computeSimhash)
+        if (!indexStemmed && !indexBigrams && !indexTrigrams &&
+            !computeSimhash && !indexQuality)
           Tokenizers.tokenizeInto(t.content, table)
         else {
           val toks = Tokenizers.default(t.content)
           val stem = graft.core.Stemmers.forLanguage(t.lang)
           forEachTerm(toks, stem)((term, p) => table.token(term, p))
           if (computeSimhash) simhash = graft.ops.Dedup.simhash64(toks)
+          // build-time safe-search classification: flagged docs carry
+          // the marker term `safe:on` must-nots (position 0, not
+          // counted into content stats, like the meta fields)
+          if (indexQuality && Fields.lowQuality(toks))
+            table.token(Fields.QualityLowTerm, 0)
           toks.length
         }
       if (indexMeta) {

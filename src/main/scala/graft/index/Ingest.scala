@@ -20,15 +20,17 @@ object Ingest {
   final val Columns = Seq("repo", "path", "commit", "lang", "content")
 
   /** Normalize any source DataFrame to the input contract. The
-    * OPTIONAL `props` json column (Config.indexJson) is carried when
+    * OPTIONAL `props` json column (Config.indexJson) and `links`
+    * outgoing-target column (Config.indexLinks) are carried when
     * present and defaulted empty otherwise — the required north-rule
     * shape stays the five columns. */
   def normalize(df: DataFrame): Dataset[SourceDoc] = {
     import df.sparkSession.implicits._
-    val withProps =
-      if (df.columns.contains("props")) df.select((Columns :+ "props").map(col): _*)
-      else df.select(Columns.map(col): _*).withColumn("props", lit(""))
-    withProps.as[SourceDoc]
+    var out = df
+    if (!out.columns.contains("props")) out = out.withColumn("props", lit(""))
+    if (!out.columns.contains("links"))
+      out = out.withColumn("links", array().cast("array<string>"))
+    out.select((Columns ++ Seq("props", "links")).map(col): _*).as[SourceDoc]
   }
 
   /** Load from a path-addressed table (format "iceberg", "parquet",

@@ -47,6 +47,13 @@ final class InvertedIndex(spark: SparkSession, dir: String,
   def fnorms: Dataset[FnormRow] = data("fnorm").select("fnorm.*").as[FnormRow]
   def segStats: Dataset[SegStatRow] = data("stat").select("stat.*").as[SegStatRow]
 
+  /** Build-time global static-rank ordinal table (Config.
+    * storeGlobalRank), validated against the CURRENT segment stats —
+    * a table left stale by a live-index append or a merge is ignored
+    * and rankSignals falls back to its per-query counting pass. */
+  @transient private lazy val grankTable: Option[Dataset[GrankRow]] =
+    GlobalRank.load(spark, dir, segStats.collect().toSeq)
+
   lazy val stats: CollectionStats = {
     // coalesce: sum over ZERO stat rows is null, and the empty-index
     // guards downstream ask `stats.numDocs == 0` — the graceful path
@@ -450,6 +457,35 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
   }
 
+  /** Distinct repos whose Site (repo) or Domain (org prefix) matches
+    * any of the given anchored regexes — the recall-stage resolution of
+    * an optic's WILDCARD blocklist patterns (Optics.blockedSitePatterns)
+    * into concrete must-not site terms. One narrow distinct scan of the
+    * doc table's repo column, capped. An optic is long-lived serving
+    * config: resolve once per optic (or per index generation) and reuse
+    * — per-query resolution re-scans the column for nothing. */
+  def reposMatching(siteRegexes: Seq[String], domainRegexes: Seq[String],
+                    cap: Int = 1024): Seq[String] = {
+    if (siteRegexes.isEmpty && domainRegexes.isEmpty) return Nil
+    // memoized per pattern set: an optic is long-lived serving config
+    // and this InvertedIndex instance is a fixed index generation, so
+    // the distinct-repo scan runs once per (optic, generation), not
+    // per query (a refreshed/live index is a NEW instance)
+    reposMatchingMemo.computeIfAbsent((siteRegexes.toList, domainRegexes.toList, cap), { _ =>
+      val preds =
+        siteRegexes.map(r => $"repo".rlike(r)) ++
+          domainRegexes.map(r => substring_index($"repo", "/", 1).rlike(r))
+      docs.select($"repo").distinct()
+        .filter(preds.reduce(_ || _))
+        .limit(cap)
+        .collect().map(_.getString(0)).toSeq
+    })
+  }
+
+  @transient private lazy val reposMatchingMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (List[String], List[String], Int), Seq[String]]()
+
   /** DataFrame face of `search` for the driver contract. */
   def searchDF(query: String, k: Int, mode: String = "or"): DataFrame = {
     val hits = search(query, k, mode)
@@ -542,6 +578,14 @@ final class InvertedIndex(spark: SparkSession, dir: String,
           case Some(ts) => neg ++= ts
           case None     => neg += body
         }
+      } else if (p.length > 5 && p.substring(0, 5).equalsIgnoreCase("safe:")) {
+        // safe-search flag (reference query/mod.rs:110-118 ANDs
+        // NOT(classification) onto the query): `safe:on` lowers to a
+        // must-not over the build-time quality marker term; `safe:off`
+        // (or any other value) is a no-op. Indexes built without
+        // Config.indexQuality have no marker postings, so the must-not
+        // is a df=0 no-op there rather than an error.
+        if (p.substring(5).equalsIgnoreCase("on")) neg += Fields.QualityLowTerm
       } else {
         val colon = p.indexOf(':')
         val lowered =
@@ -567,8 +611,14 @@ final class InvertedIndex(spark: SparkSession, dir: String,
       val tree = BooleanQuery.Bool(
         must = ops.map(BooleanQuery.Term.apply),
         should = queryTerms(body).toSeq.map(BooleanQuery.Term.apply),
-        mustNot = minus.flatMap(m => queryTerms(m)).distinct
-          .map(BooleanQuery.Term.apply))
+        // a NUL-carrying minus is an already-lowered field term (a
+        // negated operator, or safe:on's quality must-not) and passes
+        // through untokenized — queryTerms would split it into plain
+        // text and silently drop the must-not (same rule as the
+        // searchBatchRaw minus path)
+        mustNot = minus.flatMap(m =>
+            if (m.indexOf('\u0000') >= 0) Seq(m) else queryTerms(m).toSeq)
+          .distinct.map(BooleanQuery.Term.apply))
       resolve(searchBool(tree, k), k)
     }
   }
@@ -904,17 +954,25 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     // no shuffle beyond the tiny count agg); a latency-critical serving
     // deployment would materialize the ordinal at build instead and pay
     // the extra terasort there.
-    val candKeyDF = spark.createDataset(meta.toSeq.map { case ((seg, id), (rp, pt, sk, cm)) =>
-      (seg, id, sk, rp, pt, cm)
-    }).toDF("cseg", "cdoc", "csk", "crepo", "cpath", "ccommit")
-    val granks: Map[(Int, Int), Long] =
-      docs.join(broadcast(candKeyDF),
-          $"sortKey" > $"csk" ||
-            ($"sortKey" === $"csk" &&
-              struct($"repo", $"path", $"commit") <
-                struct($"crepo", $"cpath", $"ccommit")))
-        .groupBy($"cseg", $"cdoc").count()
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val granks: Map[(Int, Int), Long] = grankTable match {
+      case Some(g) =>
+        // build-time-materialized ordinal (Config.storeGlobalRank):
+        // keyed broadcast lookup on exactly the candidate keys
+        g.join(broadcast(candDF), Seq("segment", "docId"))
+          .select($"segment", $"docId", $"grank")
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      case None =>
+        val candKeyDF = spark.createDataset(meta.toSeq.map { case ((seg, id), (rp, pt, sk, cm)) =>
+          (seg, id, sk, rp, pt, cm)
+        }).toDF("cseg", "cdoc", "csk", "crepo", "cpath", "ccommit")
+        docs.join(broadcast(candKeyDF),
+            $"sortKey" > $"csk" ||
+              ($"sortKey" === $"csk" &&
+                struct($"repo", $"path", $"commit") <
+                  struct($"crepo", $"cpath", $"ccommit")))
+          .groupBy($"cseg", $"cdoc").count()
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
 
     val scored = perCand.map { r =>
       val (repo, path, sortKey, _) = meta((r._1, r._2))

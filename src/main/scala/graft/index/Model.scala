@@ -47,6 +47,11 @@ object PostingRow {
       d.tailBytes, d.posBytes, d.posBlockOffsets)
 }
 
+/** One doc's index-wide static-rank ordinal (see GlobalRank): rank =
+  * number of docs strictly preceding it in the global docid-assignment
+  * order. Public — Spark codegen requirement. */
+final case class GrankRow(segment: Int, docId: Int, grank: Long)
+
 /** Per-segment fieldnorm ids, chunked so no parquet row exceeds ~8 MiB
   * (docId = chunk * chunkSize + offset). */
 final case class FnormRow(segment: Int, chunk: Int, numDocs: Int, fnorms: Array[Byte])

@@ -312,6 +312,26 @@ object Optics {
                 Discard) => host
     }
 
+  /** WILDCARD Site/Domain Discard matchings — blocklists by pattern
+    * rather than exact host (e.g. `Site("*.mirror.*")`). Only
+    * single-matching single-group rules qualify: their discard fires
+    * iff the site/domain pattern matches, so the recall stage may
+    * resolve the pattern against the index's distinct repo metadata
+    * once (InvertedIndex.reposMatching) and lower every matched repo
+    * to a must-not term — blocked docs then never consume candidate
+    * slots, the same recall-stage compilation the reference applies to
+    * its blocked-sites special case (query/optic.rs:164-168). Rules
+    * that AND the site with other matchings stay post-recall. */
+  def blockedSitePatterns(optic: Optic): Seq[Matching] =
+    optic.rules.collect {
+      case Rule(List(List(m @ Matching(loc, parts))), Discard)
+          if (loc == Site || loc == Domain) &&
+            !(loc == Site && (parts match {
+              case Anchor :: Raw(_) :: Anchor :: Nil => true
+              case _ => false
+            })) => m
+    }
+
   /** Driver-side scorer for the serving pipeline's candidate page:
     * (multiplier, matchedAnyRule); None = discarded (a Discard rule
     * fired, or DiscardNonMatching and nothing matched). Metadata

@@ -51,9 +51,22 @@ object SearchPipeline {
     // consume candidate slots. Needs an indexMeta index — without one
     // the terms are simply absent and the post-recall discard in the
     // optic stage still removes the docs (belt and braces).
-    val blockedTerms: Seq[String] = cfg.optic.toSeq
-      .flatMap(Optics.blockedSites)
-      .flatMap(h => idx.lowerOp("site", h).getOrElse(Nil))
+    val blockedTerms: Seq[String] = {
+      val exact = cfg.optic.toSeq.flatMap(Optics.blockedSites)
+      // wildcard Site/Domain discards resolve against the index's
+      // distinct repo metadata once, then lower exactly like the exact
+      // blocklist — so a pattern blocklist stops consuming candidate
+      // slots too (see Optics.blockedSitePatterns; the post-recall
+      // discard below still applies, belt and braces)
+      val pats = cfg.optic.toSeq.flatMap(Optics.blockedSitePatterns)
+      val wildcard =
+        if (pats.isEmpty) Nil
+        else idx.reposMatching(
+          pats.collect { case m if m.location == Optics.Site => m.regex },
+          pats.collect { case m if m.location == Optics.Domain => m.regex })
+      (exact ++ wildcard).distinct
+        .flatMap(h => idx.lowerOp("site", h).getOrElse(Nil))
+    }
 
     // stages 2-3: candidates with signal vectors
     val ranked: Seq[(Hit, Map[String, Double])] =
@@ -63,7 +76,12 @@ object SearchPipeline {
         val tree = BooleanQuery.Bool(
           must = ops.map(BooleanQuery.Term.apply),
           should = idx.queryTerms(body).toSeq.map(BooleanQuery.Term.apply),
-          mustNot = (minus.flatMap(m => idx.queryTerms(m)) ++ blockedTerms)
+          // NUL-carrying minus entries are already-lowered field terms
+          // (negated operators, safe:on) and pass through untokenized,
+          // like the searchBatchRaw and searchParsed minus paths
+          mustNot = (minus.flatMap(m =>
+              if (m.indexOf('\u0000') >= 0) Seq(m) else idx.queryTerms(m).toSeq)
+            ++ blockedTerms)
             .distinct.map(BooleanQuery.Term.apply))
         // score the ORIGINAL tree: factoring preserves the match set
         // but deduplicates shared clauses, so a factored tree scores a

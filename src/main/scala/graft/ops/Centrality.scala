@@ -32,12 +32,26 @@ import org.apache.spark.sql.functions._
 object Centrality {
 
   /** One node's HyperBall state: in-ball sketch registers, the
-    * previous ball estimate, and the harmonic accumulator. Public —
-    * Spark codegen requirement. */
+    * previous ball estimate, and the harmonic accumulator with its
+    * Kahan compensation term (the reference compensates exactly this
+    * accumulation, webgraph/centrality/harmonic.rs:56 — at ≤6 rounds
+    * the correction is tiny, but the accumulator semantics match).
+    * Public — Spark codegen requirement. */
   final case class BallState(node: Long, regs: Array[Byte],
-                             prevEst: Double, harmonic: Double)
+                             prevEst: Double, harmonic: Double,
+                             herr: Double = 0.0)
 
   // ------------------------------------------------------------- exact
+
+  /** Above this many distinct edges the per-round frontier⋈edges join
+    * stops BROADCASTING the edge side (~16 B/row → ~64 MB at this
+    * default, the usual autoBroadcastJoinThreshold class) and falls
+    * back to a shuffle join. harmonicExact is the oracle-exact
+    * small-graph path — HyperBall is the 100 TB design — but a caller
+    * that routes a big graph here by mistake must degrade to a slower
+    * correct plan, not OOM the driver re-broadcasting the edge table
+    * every BFS round. */
+  final val ExactBroadcastMaxEdges: Long = 4L * 1000 * 1000
 
   /** Exact harmonic centrality (integer form): returns
     * (node, h) where h = Σ_{u reaches node, d ≤ maxDepth} lcm/d.
@@ -45,30 +59,35 @@ object Centrality {
     * Each round: frontier ⋈ edges (dst = frontier node-at-ball-edge)
     * pulls the next shell, anti-join drops already-visited pairs. */
   def harmonicExact(spark: SparkSession, edges: DataFrame,
-                    maxDepth: Int): DataFrame = {
+                    maxDepth: Int,
+                    broadcastMaxEdges: Long = ExactBroadcastMaxEdges): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 6, "lcm trick holds for depth 1..6")
     val lcm = maxDepth match {
       case 1 => 1L; case 2 => 2L; case 3 => 6L
       case 4 => 12L; case 5 => 60L; case 6 => 60L
     }
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("n"))
-      .union(e.select(col("dst").as("n"))).distinct().localCheckpoint()
+    // the checkpoint above already materialized e0, so this count is a
+    // cheap cached-block scan, not a recompute
+    val e = if (e0.count() <= broadcastMaxEdges) broadcast(e0) else e0
+    val nodes = e0.select(col("src").as("n"))
+      .union(e0.select(col("dst").as("n"))).distinct().localCheckpoint()
     // visited pairs (v, u): u ∈ B(v, d); frontier = the newest shell.
     // Iterative plans need their lineage TRUNCATED each round
     // (localCheckpoint): without it the d-th round's plan nests every
     // earlier round's joins and Catalyst's optimize/codegen time grows
     // superlinearly with depth — the classic iterative-algorithm trap
     // (12 s for 4 rounds over a 500-node graph before truncation).
-    // The edge side broadcasts: it is the small, reused relation.
+    // The edge side broadcasts only under the size guard above: small
+    // reused relation -> broadcast; over-threshold -> shuffle join.
     var visited = nodes.select(col("n").as("v"), col("n").as("u"))
       .localCheckpoint()
     var frontier = visited
     var scores = nodes.select(col("n").as("v"), lit(0L).as("h"))
     var d = 1
     while (d <= maxDepth) {
-      val next = frontier.join(broadcast(e), e("dst") === frontier("u"))
+      val next = frontier.join(e, e("dst") === frontier("u"))
         .select(col("v"), col("src").as("u")).distinct()
         .join(visited, Seq("v", "u"), "left_anti")
         .localCheckpoint()
@@ -179,7 +198,9 @@ object Centrality {
           val regs = if (in == null) st.regs else merge(st.regs, in._2)
           val est = estimate(regs)
           val delta = math.max(est - st.prevEst, 0.0)
-          BallState(st.node, regs, est, st.harmonic + delta / depth)
+          val acc = Kahan.add(Kahan.KahanAcc(st.harmonic, st.herr),
+            delta / depth)
+          BallState(st.node, regs, est, acc.sum, acc.err)
         }.localCheckpoint() // truncate the per-round lineage (see exact)
       t += 1
     }

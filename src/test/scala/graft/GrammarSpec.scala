@@ -101,6 +101,55 @@ class GrammarSpec extends AnyFunSuite {
     assert(idx.searchParsed("libfoo", 10).isEmpty)
   }
 
+  test("safe:on lowers to the quality-marker must-not; safe:off is a no-op") {
+    import spark.implicits._
+    val good = "alpha beta gamma delta epsilon zeta distinct words here now"
+    val bad = "spam spam spam spam spam spam spam spam spam eggs"  // 2 distinct / 10
+    val docs = Seq(
+      SourceDoc("g1", "a.md", "c", "en", good + " table"),
+      SourceDoc("g2", "b.md", "c", "en", good + " table extra"),
+      SourceDoc("b1", "c.md", "c", "en", bad + " table"),
+      SourceDoc("b2", "d.md", "c", "en", "tiny table"))  // < 5 tokens
+    val dir = java.nio.file.Files.createTempDirectory("graftsafe").toString
+    IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      IndexBuilder.Config(numSegments = 1, indexQuality = true, indexMeta = true))
+    val idx = new InvertedIndex(spark, dir)
+    // parse: safe:on -> must-not marker; safe:off -> nothing
+    val (body, _, minus, ops) = idx.parseOps("safe:on table")
+    assert(body == "table" && ops.isEmpty && minus == Seq(Fields.QualityLowTerm))
+    val off = idx.parseOps("safe:off table")
+    assert(off._1 == "table" && off._3.isEmpty && off._4.isEmpty)
+    // engine: low-quality docs drop under safe:on, stay under safe:off
+    assert(idx.searchParsed("safe:on table", 10).map(_.repo).toSet == Set("g1", "g2"))
+    assert(idx.searchParsed("safe:off table", 10).map(_.repo).toSet ==
+      Set("g1", "g2", "b1", "b2"))
+    // composes with a must operator (the boolean-tree path)
+    assert(idx.searchParsed("safe:on repo:b1 table", 10).isEmpty)
+    assert(idx.searchParsed("safe:on repo:g1 table", 10).map(_.repo).toSet == Set("g1"))
+    // an index built WITHOUT the classification: safe:on is a df=0 no-op
+    assert(index.searchParsed("safe:on spark", 10).map(h => (h.repo, h.path)).toSeq ==
+      index.searchParsed("spark", 10).map(h => (h.repo, h.path)).toSeq)
+  }
+
+  test("negated operators survive the boolean-tree path (op + -op compose)") {
+    // a lowered must-not (NUL-prefixed index term) combined with a must
+    // operator used to be re-tokenized by the boolean branch and
+    // silently dropped
+    val repo = docs.head.repo
+    val lang = docs.head.lang
+    val withOp = index.searchParsed(s"repo:$repo -lang:$lang data", 50)
+    val wantOp = docs.filter(d => d.repo == repo && d.lang != lang)
+      .map(d => (d.repo, d.path)).toSet
+    assert(withOp.map(h => (h.repo, h.path)).toSet == wantOp)
+    val otherLang = docs.map(_.lang).distinct.find(_ != lang)
+    otherLang.foreach { ol =>
+      val hits = index.searchParsed(s"lang:$ol -repo:$repo data", 400)
+      val want = docs.filter(d => d.lang == ol && d.repo != repo)
+        .map(d => (d.repo, d.path)).toSet
+      assert(hits.map(h => (h.repo, h.path)).toSet == want)
+    }
+  }
+
   test("intitle:/file: matches file-name tokens only") {
     val base = docs.head.path.substring(docs.head.path.lastIndexOf('/') + 1)
     val tok = Tokenizers.default(base).find(_.length > 2).get

@@ -76,9 +76,10 @@ class IndexPipelineSpec extends AnyFunSuite {
     corpus.toDF().write.parquet(p)
     val docs = Ingest.sourceDocs(spark, p, format = "parquet")
     assert(docs.count() == 800)
-    // required contract columns + the defaulted optional props column
-    assert(docs.columns.toSeq == Ingest.Columns :+ "props")
+    // required contract columns + the defaulted optional props/links
+    assert(docs.columns.toSeq == Ingest.Columns ++ Seq("props", "links"))
     assert(docs.head().props == "")
+    assert(docs.head().links.isEmpty)
     val (ok, bad, missing) = Ingest.fidelityReport(spark, docs, dir)
     assert(ok == 800 && bad == 0 && missing == 0)
     // a corrupted row is caught

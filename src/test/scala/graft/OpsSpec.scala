@@ -194,6 +194,13 @@ class OpsSpec extends AnyFunSuite {
     val est2 = Centrality.harmonicHyperBall(spark, big.repartition(7), maxDepth = 4)
       .collect().map(b => b.node -> b.harmonic).toMap
     assert(est == est2)
+    // over-threshold edge tables take the NON-broadcast join path (the
+    // driver-OOM guard: a caller mistake degrades to a shuffle join,
+    // same results) — threshold 0 forces every edge batch over it
+    val ex3 = Centrality.harmonicExact(spark, big, maxDepth = 4,
+        broadcastMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ex3 == ex2, "shuffle-join fallback must be result-identical")
   }
 
   test("bpe-ish token count and multi-language ID heuristics") {
@@ -267,6 +274,38 @@ class OpsSpec extends AnyFunSuite {
     // boilerplate-only pairs are gone; the genuinely-similar pair survives
     assert(capped.contains((1L, 2L)))
     assert(capped.length < 40 * 39 / 2)
+  }
+
+  test("kahan sum: exact where a plain double fold loses addends") {
+    import spark.implicits._
+    // 1e16 followed by 500 units then -1e16: each unit rounds away
+    // against the running 1e16 (ulp 2), so an uncompensated
+    // left-to-right fold returns 0; Kahan's err term recovers them all
+    val xs = Seq(1e16) ++ Seq.fill(500)(1.0) ++ Seq(-1e16)
+    val naive = xs.foldLeft(0.0)(_ + _)
+    assert(naive != 500.0, s"adversary failed to adversary: $naive")
+    assert(Kahan.sum(xs) == 500.0)
+
+    // distributed: the same bound must hold through partial-agg merges
+    // regardless of partitioning (the merge path folds pair-into-pair)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = spark.createDataset(xs).repartition(parts)
+        .agg(Kahan.sumCol(col("value"))).head().getDouble(0)
+      assert(math.abs(got - 500.0) <= 16.0, s"parts=$parts got $got")
+    }
+
+    // random mix: |kahan - exact| <= 2*eps*sum(|x|) (exact via BigDecimal)
+    val rnd = new scala.util.Random(42)
+    val ys = Seq.tabulate(2000)(i =>
+      if (i % 97 == 0) (rnd.nextDouble() - 0.5) * 1e12
+      else rnd.nextDouble() - 0.5)
+    val exact = ys.foldLeft(BigDecimal(0))((a, x) => a + BigDecimal(x)).toDouble
+    val absSum = ys.map(math.abs).sum
+    val bound = 2 * 2.3e-16 * absSum
+    assert(math.abs(Kahan.sum(ys) - exact) <= bound)
+    val dist = spark.createDataset(ys).repartition(13)
+      .agg(Kahan.sumCol(col("value"))).head().getDouble(0)
+    assert(math.abs(dist - exact) <= 64 * bound + 1e-9)
   }
 
   test("shingles + fingerprint column ops") {

@@ -209,6 +209,45 @@ class OpticsSpec extends AnyFunSuite {
     assert(res.head.repo == "r1", res.map(_.repo).toString)
   }
 
+  test("wildcard Site blocklist prefilters at recall, not just post-recall") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 30 docs from mirror repos that OUTSCORE the one good doc (higher
+    // tf), all matching a wildcard Site discard; with only post-recall
+    // discarding and slack 1, the mirrors would fill the candidate page
+    // and the good doc would never surface
+    val docs = (0 until 30).map(i =>
+      graft.index.SourceDoc(s"mirror-site-$i", "a.md", "c", "en",
+        "data table " * 8)) :+
+      graft.index.SourceDoc("good/repo", "b.md", "c", "en",
+        "data table once here")
+    val dir = java.nio.file.Files.createTempDirectory("graftwb").toString
+    graft.index.IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      graft.index.IndexBuilder.Config(numSegments = 2, indexStemmed = true,
+        indexBigrams = true, indexMeta = true, computeSimhash = true))
+    val idx = new graft.index.InvertedIndex(spark, dir)
+    val optic = Optics.parse(
+      """Rule { Matches { Site("|mirror-site-*") }, Action(Discard) }""")
+    // the pattern is wildcard (not exact-anchored): blockedSites must
+    // NOT pick it up, blockedSitePatterns must
+    assert(Optics.blockedSites(optic).isEmpty)
+    assert(Optics.blockedSitePatterns(optic).nonEmpty)
+    // resolution finds exactly the mirror repos
+    val resolved = idx.reposMatching(
+      Optics.blockedSitePatterns(optic).map(_.regex), Nil)
+    assert(resolved.toSet == (0 until 30).map(i => s"mirror-site-$i").toSet)
+    val res = graft.index.SearchPipeline.run(idx, "data table", 1,
+      cfg = graft.index.SearchPipeline.Config(slack = 1, optic = Some(optic)))
+    assert(res.map(_.repo) == Seq("good/repo"),
+      s"wildcard-blocked repos must not consume candidate slots: $res")
+    // Domain form prefilters too (org prefix of the repo)
+    val oDom = Optics.parse(
+      """Rule { Matches { Domain("|good|") }, Action(Discard) }""")
+    val resolvedDom = idx.reposMatching(Nil,
+      Optics.blockedSitePatterns(oDom).map(_.regex))
+    assert(resolvedDom == Seq("good/repo"))
+  }
+
   test("host preferences anchor to the exact host; empty Matches rejected") {
     // a bare Like host must NOT substring-match other sites
     val o = Optics.parse("""Like(Site("a.com"))""")

@@ -103,6 +103,71 @@ class SignalSpec extends AnyFunSuite {
     }
   }
 
+  test("stored global-rank table: identical ranking, brute-force-equal, stale-refusing") {
+    // same corpus with Config.storeGlobalRank: the lookup path must be
+    // end-to-end identical to the counting pass (hits AND vectors)
+    val d2 = java.nio.file.Files.createTempDirectory("graftsig2").toString
+    IndexBuilder.build(spark, corpus, d2, IndexBuilder.Config(numSegments = 3,
+      indexStemmed = true, indexBigrams = true, indexMeta = true,
+      storeGlobalRank = true))
+    val idx2 = new InvertedIndex(spark, d2)
+    val q = "merging data tables"
+    val a = index.rankSignals(q, 10).map { case (h, v) => (h.repo, h.path, h.score, v) }.toSeq
+    val b = idx2.rankSignals(q, 10).map { case (h, v) => (h.repo, h.path, h.score, v) }.toSeq
+    assert(a == b)
+
+    // the stored ordinals equal the strict-precede counting definition
+    val stats = idx2.segStats.collect().toSeq
+    val g = GlobalRank.load(spark, d2, stats)
+    assert(g.nonEmpty, "freshly built table must validate")
+    val stored = g.get.collect().map(r => (r.segment, r.docId) -> r.grank).toMap
+    val all = idx2.docs.collect()
+    def precedes(x: DocRow, y: DocRow): Boolean =
+      x.sortKey > y.sortKey || (x.sortKey == y.sortKey &&
+        Ordering.Tuple3(Ordering.String, Ordering.String, Ordering.String)
+          .lt((x.repo, x.path, x.commit), (y.repo, y.path, y.commit)))
+    all.foreach { r =>
+      val brute = all.count(o => precedes(o, r)).toLong
+      assert(stored((r.segment, r.docId)) == brute, s"${r.repo}/${r.path}")
+    }
+
+    // staleness: a changed segment set or doc count refuses to load
+    // (live-index append / merge leave the derived table behind)
+    assert(GlobalRank.load(spark, d2,
+      stats.map(s => s.copy(segment = s.segment + 100))).isEmpty)
+    assert(GlobalRank.load(spark, d2,
+      stats.head.copy(numDocs = stats.head.numDocs + 1) +: stats.tail).isEmpty)
+  }
+
+  test("full-key duplicate docs share one global rank (strict-precede ties)") {
+    import spark.implicits._
+    val docs = Seq(
+      SourceDoc("r1", "dup.md", "c", "en", "alpha beta gamma data"),
+      SourceDoc("r1", "dup.md", "c", "en", "alpha beta gamma data"),
+      SourceDoc("r2", "x.md", "c", "en", "delta epsilon data"),
+      SourceDoc("r3", "y.md", "c", "en", "zeta eta data"))
+    val d = java.nio.file.Files.createTempDirectory("graftgrktie").toString
+    IndexBuilder.build(spark, spark.createDataset(docs), d,
+      IndexBuilder.Config(numSegments = 2, storeGlobalRank = true))
+    val idx = new InvertedIndex(spark, d)
+    val g = GlobalRank.load(spark, d, idx.segStats.collect().toSeq).get
+      .collect().map(r => (r.segment, r.docId) -> r.grank).toMap
+    val byKey = idx.docs.collect().groupBy(r => (r.sortKey, r.repo, r.path, r.commit))
+    val dupRanks = byKey((byKey.keys.find(_._3 == "dup.md").get))
+      .map(r => g((r.segment, r.docId))).toSet
+    assert(dupRanks.size == 1, s"tied docs must share a rank: $dupRanks")
+    // and every rank is still the strict-precede count (the law holds
+    // through the tie group: both duplicates precede nothing extra)
+    val all = idx.docs.collect()
+    def precedes(x: DocRow, y: DocRow): Boolean =
+      x.sortKey > y.sortKey || (x.sortKey == y.sortKey &&
+        Ordering.Tuple3(Ordering.String, Ordering.String, Ordering.String)
+          .lt((x.repo, x.path, x.commit), (y.repo, y.path, y.commit)))
+    all.foreach { r =>
+      assert(g((r.segment, r.docId)) == all.count(o => precedes(o, r)).toLong)
+    }
+  }
+
   test("coefficients steer the ranking") {
     val q = "data table"
     // zero out everything except centrality: order must follow centrality
