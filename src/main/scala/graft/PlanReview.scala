@@ -20,7 +20,7 @@ object PlanReview {
 
     val dir = java.nio.file.Files.createTempDirectory("graftplan").toString
     IndexBuilder.build(spark, Corpus.generate(spark, 5000), dir,
-      IndexBuilder.Config(numSegments = 8))
+      IndexBuilder.Config(numSegments = 8, storeGlobalRank = true))
     val idx = new InvertedIndex(spark, dir)
 
     def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
@@ -43,6 +43,15 @@ object PlanReview {
       .toDF("segment", "docId", "score")
     show("doc resolve (broadcast join)",
       idx.docs.join(broadcast(hits), Seq("segment", "docId")))
+
+    // 3b. stored global-rank lookup: candidate keys broadcast against
+    //     the ordinal table (the serving path that replaces the O(N·k)
+    //     counting theta-join)
+    idx.storedGlobalRanks.foreach { g =>
+      show("grank lookup (broadcast keyed join)",
+        g.toDF().join(broadcast(hits.select("segment", "docId")),
+          Seq("segment", "docId")))
+    }
 
     // 4. relational BM25 driver query (aggregates + joins)
     show("q_bm25_topk", SparkEntry.queries("q_bm25_topk")(spark, "/root/testdata/sf0.001"))

@@ -48,9 +48,15 @@ object SparkEntry {
         .as[(Long, String, String, String)]
         .map { case (id, src, lang, text) => SourceDoc(id.toString, src, "", lang, text) }
       val out = java.nio.file.Files.createTempDirectory("graftentry").toString
+      // storeGlobalRank: the engine faces (signals/pipeline/ltr) then
+      // serve CentralityRank from the STORED ordinal table, so the
+      // oracle gate pins the materialized path end-to-end (SignalSpec
+      // proves it identical to the counting pass; q_grank pins the
+      // table itself)
       IndexBuilder.build(s, docs, out,
         IndexBuilder.Config(numSegments = 4, indexStemmed = true,
-          indexBigrams = true, computeSimhash = true))
+          indexBigrams = true, computeSimhash = true,
+          storeGlobalRank = true))
       new InvertedIndex(s, out)
     })
 
@@ -146,6 +152,8 @@ object SparkEntry {
     docIndex(s, dir)
     keyPhraseIndex(s, dir)
     eventsIndex(s, dir)
+    linksIndex(s, dir)
+    qualityIndex(s, dir)
   }
 
   private def hitsDF(s: SparkSession, hits: Array[graft.index.Hit]): DataFrame =
@@ -681,6 +689,21 @@ object SparkEntry {
           "doc_id", "text")
         .select(col("id"), col("simhash").cast("string").as("sig"))
         .orderBy("id")
+    }),
+    "q_grank" -> ((s, d) => {
+      // the stored index-wide static-rank ordinal itself
+      // (Config.storeGlobalRank -> index.GlobalRank): stored table
+      // joined back to doc identity; the oracle re-derives the ordinal
+      // from the docid-assignment CTEs (row_number-1 == strict-precede
+      // count here because doc keys are unique in this face)
+      val idx = docIndex(s, d)
+      val g = idx.storedGlobalRanks.getOrElse(
+        sys.error("docIndex builds with storeGlobalRank"))
+      g.toDF().join(
+          idx.docs.toDF().select(col("segment"), col("docId"), col("repo")),
+          Seq("segment", "docId"))
+        .select(col("repo").cast("long").as("doc_id"), col("grank"))
+        .orderBy("doc_id")
     }),
     "q_webgraph" -> ((s, d) => {
       // webgraph construction (reference crates/core/src/webgraph/):
@@ -1511,9 +1534,12 @@ object SparkEntry {
     * ensemble over the sgl signal columns (which are exact replicas of
     * the engine's vectors); the tree-output sum folds left in tree
     * order and divides by the tree count, like Ltr.predict. */
-  // Scores here are the UNSHIFTED mean of tree outputs — the reference
-  // adds |min leaf|+1 per tree at model load (lambdamart.rs:157-175), a
-  // constant shift that cannot change ranking; see Ltr.predict's note.
+  // The parsed leaves already carry the reference's load-time
+  // |min leaf|+1 per-tree shift (applied in Ltr.parse), so the CASE
+  // constants below are the SHIFTED values — the oracle and the engine
+  // move in lockstep, and absolute scores match the reference's
+  // inference exactly. Double#toString round-trips, so the SQL decimal
+  // literals re-parse to identical doubles in DuckDB.
   private def ltrOracleSql: String = {
     val model = graft.core.Ltr.parse(LtrModelText)
     val colOf = Map(
@@ -2537,6 +2563,9 @@ object SparkEntry {
     "q_engine_json" -> engineJsonOracleSql,
     "q_engine_links" -> engineLinksOracleSql,
     "q_engine_safesearch" -> engineSafeSearchOracleSql,
+    "q_grank" ->
+      s"""WITH ${segDocidCtes(4)}
+         |SELECT doc_id, grank FROM did ORDER BY doc_id""".stripMargin,
     // per-doc raw-id links dedup BEFORE the repo mapping (two formulas
     // can hit one repo through different raw targets — both count),
     // self-loops drop at raw level AND repo level, like the face

@@ -31,16 +31,10 @@ object Ltr {
 
   final case class Ensemble(featureNames: Array[String], trees: Array[Tree]) {
     /** Mean of tree outputs; the per-tree sum folds left in tree order
-      * (the oracle's SQL parenthesizes identically).
-      *
-      * Known constant-shift divergence from the reference: at model
-      * load the reference adds a per-tree offset of |min leaf|+1 to
-      * every leaf before averaging (lambdamart.rs:157-175 — it wants
-      * strictly-positive scores). Ranking order is IDENTICAL (a
-      * constant per-tree shift moves every doc's score equally), but
-      * absolute scores differ by Σ(|min_t|+1)/T — do not compare raw
-      * predict() values across engines or against score thresholds
-      * tuned on the reference. */
+      * (the oracle's SQL parenthesizes identically). Leaves already
+      * carry the reference's load-time |min leaf|+1 per-tree shift
+      * (applied in parse, lambdamart.rs:155-175), so absolute scores
+      * match the reference's inference, not just the order. */
     def predict(values: Map[String, Double]): Double = {
       if (trees.isEmpty) return 0.0 // a hand-built empty ensemble is a no-op, not NaN
       val f = (i: Int) => values.getOrElse(featureNames(i), 0.0)
@@ -125,7 +119,14 @@ object Ltr {
           } else if (-child - 1 >= lv.length)
             throw ParseError(s"leaf ${-child - 1} beyond ${lv.length} leaves")
         }
-        trees += Tree(sf, th, lc, rc, lv)
+        // the reference's load-time leaf shift (lambdamart.rs:155-175):
+        // every leaf gains |min leaf| + 1 — it wants strictly-positive
+        // scores. Applied even when the min is positive, exactly like
+        // the reference; a constant per-tree shift leaves ranking
+        // order untouched. The q_ltr oracle generates from this SAME
+        // parsed ensemble, so both engines shift in lockstep.
+        val offset = math.abs(lv.min) + 1.0
+        trees += Tree(sf, th, lc, rc, lv.map(_ + offset))
         }
       }
     }

@@ -54,6 +54,9 @@ final class InvertedIndex(spark: SparkSession, dir: String,
   @transient private lazy val grankTable: Option[Dataset[GrankRow]] =
     GlobalRank.load(spark, dir, segStats.collect().toSeq)
 
+  /** The validated stored ordinal table, if this index has one. */
+  def storedGlobalRanks: Option[Dataset[GrankRow]] = grankTable
+
   lazy val stats: CollectionStats = {
     // coalesce: sum over ZERO stat rows is null, and the empty-index
     // guards downstream ask `stats.numDocs == 0` — the graceful path

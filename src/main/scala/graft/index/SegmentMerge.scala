@@ -76,7 +76,12 @@ object SegmentMerge {
     val lineage = IndexBuilder.fnv1a64(
       stats.map(s => s"${s.segment}:${s.sha256Agg}").mkString(","))
     val tag = f"merge${stats.head.segment}-${stats.last.segment}-f$fanIn-$lineage%016x"
-    if (IndexBuilder.batchCommitted(outDir, tag)) return
+    if (IndexBuilder.batchCommitted(outDir, tag)) {
+      // committed merge re-run: heal a grank table lost to a crash
+      // between the commit marker and the refresh (idempotent)
+      refreshGlobalRank(spark, outDir, cfg)
+      return
+    }
     val staged = s"${IndexBuilder.stagingDir(outDir)}/$tag"
     val newSegOf: Int => Int = old => old / fanIn
     val grouped = stats.groupBy(s => newSegOf(s.segment))
@@ -195,7 +200,22 @@ object SegmentMerge {
         IndexBuilder.manifestDir(outDir), f"seg-${row.segment}%05d.json"), json)
     }
     IndexBuilder.commitBatch(outDir, tag, s""""mergedSegments":${stats.length}""")
+    refreshGlobalRank(spark, outDir, cfg)
   }
+
+  /** Post-merge refresh of the stored global-rank ordinal: a merge
+    * renumbers docids, so any table computed before it fails
+    * GlobalRank.load validation (correct, but rankSignals degrades to
+    * its counting pass). Runs AFTER the commit marker — derived data;
+    * a crash between marker and refresh just leaves the fallback, and
+    * the committed-merge re-run path below heals it idempotently. */
+  private def refreshGlobalRank(spark: SparkSession, outDir: String,
+                                cfg: IndexBuilder.Config): Unit =
+    if (cfg.storeGlobalRank) {
+      val stats = new InvertedIndex(spark, outDir).segStats.collect().toSeq
+      if (stats.nonEmpty && GlobalRank.load(spark, outDir, stats).isEmpty)
+        GlobalRank.write(spark, outDir)
+    }
 
   /** Streams one sorted partition of MergeRows; per merged segment:
     * fieldnorm chunks first, then terms in sorted order. */

@@ -34,7 +34,8 @@ object LiveIndex {
     * exactly one copy (the reference's WAL replay gives the same
     * guarantee, live_index/index.rs:109-151). */
   def appendBatch(batch: Dataset[SourceDoc], batchId: Long, dir: String,
-                  cfg: IndexBuilder.Config = IndexBuilder.Config()): Unit = {
+                  cfg: IndexBuilder.Config = IndexBuilder.Config(),
+                  grankRefreshEvery: Int = 8): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val tag = s"live$batchId"
@@ -64,6 +65,16 @@ object LiveIndex {
         IndexBuilder.manifestDir(dir), f"seg-${s.segment}%07d.json"), json)
     }
     IndexBuilder.commitBatch(dir, tag, s""""batchId":$batchId""")
+    // stored global-rank refresh policy: every append invalidates the
+    // ordinal table (the validator then routes rankSignals to its
+    // counting pass — correct, slower), and a refresh costs one narrow
+    // pass over ALL docs accumulated so far, so refreshing every batch
+    // is quadratic over a long stream. Every-N keeps the materialized
+    // path warm at bounded amortized cost; queries between refreshes
+    // just use the fallback.
+    if (cfg.storeGlobalRank && grankRefreshEvery > 0 &&
+        batchId % grankRefreshEvery == 0)
+      GlobalRank.write(spark, dir)
   }
 
   /** Start the streaming ingestion: one mini-segment group per
@@ -72,13 +83,14 @@ object LiveIndex {
     * metadata operators all work on a live index too). */
   def start(stream: Dataset[SourceDoc], dir: String, checkpoint: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            cfg: IndexBuilder.Config = IndexBuilder.Config()): StreamingQuery = {
+            cfg: IndexBuilder.Config = IndexBuilder.Config(),
+            grankRefreshEvery: Int = 8): StreamingQuery = {
     new java.io.File(IndexBuilder.manifestDir(dir)).mkdirs()
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (b: Dataset[SourceDoc], id: Long) =>
-        appendBatch(b, id, dir, cfg)
+        appendBatch(b, id, dir, cfg, grankRefreshEvery)
       }
       .start()
   }

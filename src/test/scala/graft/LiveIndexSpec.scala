@@ -33,6 +33,39 @@ class LiveIndexSpec extends AnyFunSuite {
     assert(new InvertedIndex(spark, dir).stats.numDocs == 50)
   }
 
+  test("grank refresh policy: every-N appends rewrite the table, others leave a refused stale one") {
+    import spark.implicits._
+    val dir = tmpDir("graftlivegrank")
+    new java.io.File(IndexBuilder.manifestDir(dir)).mkdirs()
+    val cfg = IndexBuilder.Config(storeGlobalRank = true)
+    def docsFor(b: Long) = spark.createDataset(
+      (b * 40L until b * 40L + 40L).map(i => Corpus.mkDoc(i, 9L, skew = false)))
+    def liveStats = new InvertedIndex(spark, dir).segStats.collect().toSeq
+    // batch 0: refresh fires (0 % 2 == 0) -> table validates
+    LiveIndex.appendBatch(docsFor(0), 0L, dir, cfg, grankRefreshEvery = 2)
+    assert(GlobalRank.load(spark, dir, liveStats).nonEmpty)
+    // batch 1: no refresh -> the table is STALE for the grown segment
+    // set and must be refused, not served
+    LiveIndex.appendBatch(docsFor(1), 1L, dir, cfg, grankRefreshEvery = 2)
+    assert(GlobalRank.load(spark, dir, liveStats).isEmpty)
+    // batch 2: refresh fires again -> valid for all 3 batches' docs,
+    // and the ordinals obey the strict-precede law across mini-segments
+    LiveIndex.appendBatch(docsFor(2), 2L, dir, cfg, grankRefreshEvery = 2)
+    val g = GlobalRank.load(spark, dir, liveStats)
+    assert(g.nonEmpty)
+    val idx = new InvertedIndex(spark, dir)
+    val all = idx.docs.collect()
+    assert(all.length == 120)
+    val stored = g.get.collect().map(r => (r.segment, r.docId) -> r.grank).toMap
+    def precedes(x: DocRow, y: DocRow): Boolean =
+      x.sortKey > y.sortKey || (x.sortKey == y.sortKey &&
+        Ordering.Tuple3(Ordering.String, Ordering.String, Ordering.String)
+          .lt((x.repo, x.path, x.commit), (y.repo, y.path, y.commit)))
+    all.take(30).foreach { r =>
+      assert(stored((r.segment, r.docId)) == all.count(o => precedes(o, r)).toLong)
+    }
+  }
+
   test("micro-batch ingest == batch build; compaction preserves results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

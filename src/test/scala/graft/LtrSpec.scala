@@ -30,11 +30,19 @@ class LtrSpec extends AnyFunSuite {
       |
       |end of trees""".stripMargin
 
-  test("parse: trees, leaves, constant tree") {
+  test("parse: trees, leaves, constant tree, load-time leaf shift") {
     val m = Ltr.parse(text)
     assert(m.featureNames.toSeq == Seq("f0", "f1"))
     assert(m.trees.length == 2)
-    assert(m.trees(1).splitFeature.isEmpty && m.trees(1).leaf.toSeq == Seq(4.0))
+    // parse applies the reference's per-tree |min leaf|+1 shift
+    // (lambdamart.rs:155-175): tree0 min 10 -> +11, tree1 min 4 -> +5
+    assert(m.trees(0).leaf.toSeq == Seq(21.0, 31.0, 41.0))
+    assert(m.trees(1).splitFeature.isEmpty && m.trees(1).leaf.toSeq == Seq(9.0))
+    // negative leaves end strictly positive (the shift's purpose)
+    val neg = Ltr.parse(
+      "feature_names=f0\n\ntree\nsplit_feature=0\nthreshold=1.0\n" +
+        "left_child=-1\nright_child=-2\nleaf_value=-2.0 3.0\n\nend of trees")
+    assert(neg.trees(0).leaf.toSeq == Seq(1.0, 6.0))
   }
 
   test("parse accepts genuine LightGBM 'Tree=N' block headers") {
@@ -85,14 +93,15 @@ class LtrSpec extends AnyFunSuite {
 
   test("predict: traversal, tie-on-threshold goes left, missing reads 0") {
     val m = Ltr.parse(text)
-    // f0 <= 1.5 -> node1; f1 <= 0.25 -> leaf0 (10); +4 const; /2
-    assert(m.predict(Map("f0" -> 1.0, "f1" -> 0.2)) == (10.0 + 4.0) / 2)
-    // f1 > 0.25 -> leaf2 (30)
-    assert(m.predict(Map("f0" -> 1.5, "f1" -> 0.3)) == (30.0 + 4.0) / 2)
-    // f0 > 1.5 -> leaf1 (20)
-    assert(m.predict(Map("f0" -> 2.0)) == (20.0 + 4.0) / 2)
+    // shifted leaves: tree0 (21, 31, 41), tree1 const 9
+    // f0 <= 1.5 -> node1; f1 <= 0.25 -> leaf0 (21); +9 const; /2
+    assert(m.predict(Map("f0" -> 1.0, "f1" -> 0.2)) == (21.0 + 9.0) / 2)
+    // f1 > 0.25 -> leaf2 (41)
+    assert(m.predict(Map("f0" -> 1.5, "f1" -> 0.3)) == (41.0 + 9.0) / 2)
+    // f0 > 1.5 -> leaf1 (31)
+    assert(m.predict(Map("f0" -> 2.0)) == (31.0 + 9.0) / 2)
     // missing features read 0.0 -> left, left
-    assert(m.predict(Map.empty) == (10.0 + 4.0) / 2)
+    assert(m.predict(Map.empty) == (21.0 + 9.0) / 2)
   }
 
   test("parse errors are loud") {

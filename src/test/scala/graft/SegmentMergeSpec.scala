@@ -143,6 +143,40 @@ class SegmentMergeSpec extends AnyFunSuite {
     assert(after == before, "numTokens must survive the merge bit-exactly")
   }
 
+  test("merge refreshes the stored global-rank table; re-run heals a lost one") {
+    val out = tmpDir()
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 3,
+      IndexBuilder.Config(storeGlobalRank = true))
+    val merged = new InvertedIndex(spark, out)
+    val stats = merged.segStats.collect().toSeq
+    val g0 = GlobalRank.load(spark, out, stats)
+    assert(g0.nonEmpty, "post-merge table must validate against the merged segs")
+    // ordinals equal the strict-precede law over the MERGED doc table
+    val all = merged.docs.collect()
+    val g = g0.get.collect().map(r => (r.segment, r.docId) -> r.grank).toMap
+    def precedes(x: DocRow, y: DocRow): Boolean =
+      x.sortKey > y.sortKey || (x.sortKey == y.sortKey &&
+        Ordering.Tuple3(Ordering.String, Ordering.String, Ordering.String)
+          .lt((x.repo, x.path, x.commit), (y.repo, y.path, y.commit)))
+    all.take(50).foreach { r =>
+      assert(g((r.segment, r.docId)) == all.count(o => precedes(o, r)).toLong)
+    }
+    // crash-between-marker-and-refresh: delete the table, re-run the
+    // committed merge — the early-return path must heal it
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(java.nio.file.Paths.get(GlobalRank.dirOf(out)))
+    assert(GlobalRank.load(spark, out, stats).isEmpty)
+    SegmentMerge.merge(spark, srcDir, out, fanIn = 3,
+      IndexBuilder.Config(storeGlobalRank = true))
+    assert(GlobalRank.load(spark, out, stats).nonEmpty)
+    // and the merge itself stayed a no-op (no duplication)
+    assert(new InvertedIndex(spark, out).stats.numDocs == 600)
+  }
+
   test("mixed recordPositions segments refuse to merge loudly") {
     import spark.implicits._
     val dir = tmpDir()
