@@ -156,6 +156,25 @@ object SparkEntry {
     qualityIndex(s, dir)
   }
 
+  /** Shared synthetic repo-level edge table for the webgraph faces
+    * (q_webgraph, q_similar_repos, q_shortest_path): links derive
+    * deterministically from doc_id formulas — the centralityEdges
+    * technique — so the DuckDB oracles re-derive the identical graph
+    * from the documents table (webgraphEdgesCte). */
+  private def webgraphEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").where(col("doc_id") < 500)
+      .select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)]
+      .map { case (id, src, lang, text) =>
+        val targets = Seq((id * 7 + 3) % 500, (id * 13 + 11) % 500,
+            (id * 29 + 17) % 500)
+          .filter(_ != id).distinct.map(t => "r" + (t / 5))
+        SourceDoc("r" + (id / 5), src, "", lang, text, links = targets)
+      }
+    graft.ops.Webgraph.repoGraph(docs)
+  }
+
   private def hitsDF(s: SparkSession, hits: Array[graft.index.Hit]): DataFrame =
     s.createDataFrame(hits.map(h => (h.rank, h.repo.toLong, h.score.toDouble)).toSeq)
       .toDF("rank", "doc_id", "score")
@@ -711,17 +730,50 @@ object SparkEntry {
       // edge table the centrality jobs consume. Repos group 5 docs so
       // the aggregation produces real weights; links derive from the
       // same deterministic formulas as centralityEdges.
-      import s.implicits._
-      val docs = t(s, d, "documents").where(col("doc_id") < 500)
-        .select("doc_id", "source", "lang", "text")
-        .as[(Long, String, String, String)]
-        .map { case (id, src, lang, text) =>
-          val targets = Seq((id * 7 + 3) % 500, (id * 13 + 11) % 500,
-              (id * 29 + 17) % 500)
-            .filter(_ != id).distinct.map(t => "r" + (t / 5))
-          SourceDoc("r" + (id / 5), src, "", lang, text, links = targets)
-        }
-      graft.ops.Webgraph.repoGraph(docs).orderBy("src", "dst")
+      webgraphEdges(s, d).orderBy("src", "dst")
+    }),
+    "q_similar_repos" -> ((s, d) => {
+      // "similar hosts" (reference similar_hosts.rs): candidates are
+      // repos co-cited by the liked repos' inbound sources, scored by
+      // the inbound-set cosine sum / |liked| (inbound_similarity.rs,
+      // bitvec_similarity.rs). The oracle replicates the whole
+      // vote -> too-popular-filter -> top-N -> cosine-fold pipeline in
+      // SQL; the fold runs in liked order on both sides, so the
+      // UNROUNDED doubles must match bit-exactly.
+      graft.ops.Webgraph.similarRepos(webgraphEdges(s, d),
+          liked = Seq("r3", "r7"), limit = 20)
+        .orderBy(col("score").desc, col("repo"))
+    }),
+    "q_shortest_path" -> ((s, d) => {
+      // webgraph BFS distance query (shortest_path.rs
+      // raw_distances_with_max): minimum hop count from r0, capped at
+      // 6 — integer-exact; the oracle is a recursive CTE over the same
+      // formula-derived edge table
+      graft.ops.Webgraph.distances(webgraphEdges(s, d), "r0", maxDist = 6)
+        .orderBy("repo")
+    }),
+    "q_dedup_embed" -> ((s, d) => {
+      // embedding-cosine near-dup pairs — the dedup-family twin of the
+      // ANN faces. The testdata embeddings are near-orthogonal (max
+      // pairwise cos ~0.45 measured), so exact duplicates are PLANTED
+      // deterministically: ids 400..499 take the vector of id
+      // (id-400)*4 (the q_webgraph formula-derivation technique). The
+      // operator finds exactly those pairs at tau=0.9 via the sign-LSH
+      // bucket join (identical vectors always share a bucket) + exact
+      // cosine threshold; same-bucket background pairs are scored and
+      // rejected below tau, so the filter path is exercised too.
+      val base = t(s, d, "embeddings").where(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") >= 400)
+        .select(col("vec_id").as("dup_id"),
+          ((col("vec_id") - 400) * 4).as("src_id"))
+        .join(base.select(col("vec_id").as("src_id"), col("embedding")),
+          "src_id")
+        .select(col("dup_id").as("vec_id"), col("embedding"))
+      val corpus = base.where(col("vec_id") < 400).union(planted)
+      graft.ops.Dedup.embedNearDupPairs(corpus, "vec_id", "embedding",
+          dim = 64, tau = 0.9)
+        .orderBy("id_a", "id_b")
     }),
     "q_engine_safesearch" -> ((s, d) => {
       // safe-search analog (reference query/mod.rs:110-118): `safe:on`
@@ -833,6 +885,95 @@ object SparkEntry {
     * `aggregate(zip_with(...))` — proven bit-equal by q_embed_cosine),
     * so bucket assignment and the within-bucket rerank replicate
     * exactly. */
+  /** DuckDB re-derivation of webgraphEdges: the same doc_id link
+    * formulas, raw-target dedup BEFORE repo mapping, self-loop drops at
+    * both levels; `eg` is the distinct (src, dst) edge set the webgraph
+    * query faces consume. */
+  private val webgraphEdgesCte: String =
+    """n AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+      |l0 AS (
+      |  SELECT doc_id, (doc_id * 7 + 3) % 500 AS t FROM n
+      |  UNION SELECT doc_id, (doc_id * 13 + 11) % 500 FROM n
+      |  UNION SELECT doc_id, (doc_id * 29 + 17) % 500 FROM n),
+      |l1 AS (SELECT doc_id, t FROM l0 WHERE t <> doc_id),
+      |ew AS (SELECT 'r' || CAST(doc_id // 5 AS VARCHAR) AS src,
+      |              'r' || CAST(t // 5 AS VARCHAR) AS dst FROM l1),
+      |eg AS (SELECT DISTINCT src, dst FROM ew WHERE src <> dst)""".stripMargin
+
+  /** q_similar_repos oracle: replicates Webgraph.similarRepos' whole
+    * pipeline — backlink votes, the conditional too-popular filter and
+    * candidate cap (the reference's potential_nodes constants 32 /
+    * 0.25 / 256 / 1024), inbound-set cosine, and the liked-order fold
+    * (list_reduce over list(sim ORDER BY li): Spark's aggregate starts
+    * at 0.0 and 0.0 + s is an exact identity for the non-negative
+    * sims, so the unrounded doubles match bit-exactly). */
+  private def similarReposOracleSql(liked: Seq[String], limit: Int): String = {
+    val likedIn = liked.map(l => s"'$l'").mkString(", ")
+    val liCase = liked.zipWithIndex
+      .map { case (l, i) => s"WHEN '$l' THEN $i" }.mkString(" ")
+    s"""WITH $webgraphEdgesCte,
+       |back AS (SELECT DISTINCT src FROM eg WHERE dst IN ($likedIn)),
+       |nb AS (SELECT count(*) AS n FROM back),
+       |votes AS (SELECT g.dst, count(*) AS cnt
+       |          FROM eg g JOIN back b ON b.src = g.src
+       |          WHERE g.dst NOT IN ($likedIn) GROUP BY g.dst),
+       |cand AS (SELECT dst AS cand FROM votes, nb
+       |         WHERE nb.n <= 32 OR cnt <= ceil(nb.n * 0.25)
+       |         QUALIFY row_number() OVER (ORDER BY cnt DESC, dst)
+       |           <= (CASE WHEN nb.n > 32 THEN 256 ELSE 1024 END)),
+       |deg AS (SELECT dst, count(*) AS deg FROM eg GROUP BY dst),
+       |li AS (SELECT dst AS l, src FROM eg WHERE dst IN ($likedIn)),
+       |ci AS (SELECT g.dst AS c, g.src
+       |       FROM eg g JOIN cand ON cand.cand = g.dst),
+       |inter AS (SELECT li.l, ci.c, count(*) AS i
+       |          FROM li JOIN ci ON ci.src = li.src GROUP BY 1, 2),
+       |sims AS (SELECT inter.c, CASE inter.l $liCase END AS li2,
+       |                CAST(i AS DOUBLE) / (sqrt(CAST(dl.deg AS DOUBLE))
+       |                  * sqrt(CAST(dc.deg AS DOUBLE))) AS sim
+       |         FROM inter JOIN deg dl ON dl.dst = inter.l
+       |                    JOIN deg dc ON dc.dst = inter.c),
+       |ssum AS (SELECT c, list_reduce(list(sim ORDER BY li2),
+       |                               (a, b) -> a + b) AS s
+       |         FROM sims GROUP BY c)
+       |SELECT cand.cand AS repo,
+       |       greatest(0.0, coalesce(ssum.s, 0.0) / ${liked.size}.0) AS score
+       |FROM cand LEFT JOIN ssum ON ssum.c = cand.cand
+       |ORDER BY score DESC, repo LIMIT $limit""".stripMargin
+  }
+
+  /** q_dedup_embed oracle: the planted-duplicate corpus remap plus the
+    * same sign-LSH bucketing as lshKnnOracleSql (inlined hyperplanes),
+    * pair-within-bucket, rounded-cosine threshold. */
+  private def dedupEmbedOracleSql(tau: Double, dim: Int, bits: Int): String = {
+    def planeList(b: Int): String =
+      Similarity.plane(b, dim).map(f => f.toDouble.toString).mkString("[", ",", "]")
+    val bucketExpr = (0 until bits).map { b =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeList(b)}) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id < 500),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM base WHERE vec_id < 400
+       |  UNION ALL
+       |  SELECT d.vec_id, s.embedding FROM base d
+       |  JOIN base s ON s.vec_id = (d.vec_id - 400) * 4
+       |  WHERE d.vec_id >= 400),
+       |b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM corpus),
+       |bcap AS (
+       |  SELECT x.vec_id, x.embedding, x.bucket FROM b x
+       |  JOIN (SELECT bucket FROM b GROUP BY bucket
+       |        HAVING count(*) <= 10000) ok ON ok.bucket = x.bucket),
+       |scored AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |         round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+       |            sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 4) AS cos
+       |  FROM bcap x JOIN bcap y ON y.bucket = x.bucket
+       |                         AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, cos FROM scored WHERE cos >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def lshKnnOracleSql(k: Int, dim: Int, bits: Int): String = {
     def planeList(b: Int): String =
       Similarity.plane(b, dim).map(f => f.toDouble.toString).mkString("[", ",", "]")
@@ -2580,6 +2721,18 @@ object SparkEntry {
         |             'r' || CAST(t // 5 AS VARCHAR) AS dst FROM l1)
         |SELECT src, dst, count(*) AS weight FROM e WHERE src <> dst
         |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+    "q_similar_repos" -> similarReposOracleSql(Seq("r3", "r7"), 20),
+    "q_shortest_path" ->
+      s"""WITH RECURSIVE $webgraphEdgesCte,
+         |bfs(repo, dist) AS (
+         |  SELECT 'r0', 0
+         |  UNION
+         |  SELECT eg.dst, bfs.dist + 1
+         |  FROM bfs JOIN eg ON eg.src = bfs.repo
+         |  WHERE bfs.dist < 6)
+         |SELECT repo, CAST(min(dist) AS BIGINT) AS dist FROM bfs
+         |GROUP BY repo ORDER BY repo""".stripMargin,
+    "q_dedup_embed" -> dedupEmbedOracleSql(0.9, 64, 8),
     "q_json_tokens" ->
       """SELECT event_id, 'k="' || json_extract_string(props, '$.k') || '"' AS token
         |FROM events WHERE event_id < 500 ORDER BY event_id, token""".stripMargin,

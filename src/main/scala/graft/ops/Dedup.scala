@@ -152,4 +152,42 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Embedding-cosine near-duplicate pairs — the dedup-shaped twin of
+    * Similarity.lshKnnJoin: corpus vectors bucket by deterministic
+    * sign-LSH (all `bits` hyperplane signs form the key), candidate
+    * pairs form only WITHIN a bucket (self-join keyed by bucket id —
+    * no all-pairs), exact cosine reranks and the threshold applies to
+    * the ROUNDED (4-decimal) value like ngramJaccard, so the emitted
+    * column and the filter see the same number and a SQL oracle can
+    * pin the exact order of operations.
+    *
+    * Recall: a pair shares the bucket iff every hyperplane sign
+    * agrees — P = (1-θ/π)^bits — so true near-dups (θ→0) are caught
+    * with probability →1 and `bits` dials candidate volume vs recall;
+    * exact duplicates are always caught (identical vector ⇒ identical
+    * signs). `maxBucketSize` drops degenerate hot buckets wholesale
+    * (a near-constant embedding column puts everything on one side of
+    * every hyperplane) instead of melting an executor — same policy
+    * and cache discipline as lshKnnJoin. */
+  def embedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, tau: Double, bits: Int = 8,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
+    val b0 = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.lshBucket(col(vecCol), dim, bits).as("bucket"))
+    val b = {
+      // cache: hot-bucket count AND the anti-join both consume b0
+      val cached = b0.cache()
+      val hot = cached.groupBy("bucket")
+        .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+        .select("bucket")
+      cached.join(broadcast(hot), Seq("bucket"), "left_anti")
+    }
+    b.as("x").join(b.as("y"),
+        expr("x.bucket = y.bucket AND x.id < y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(Similarity.cosine(col("x.vec"), col("y.vec")), 4).as("cos"))
+      .where(col("cos") >= tau)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.index.SourceDoc
@@ -31,4 +31,127 @@ object Webgraph {
     docs.select(col("repo").as("src"), explode(col("links")).as("dst"))
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+
+  /** BFS shortest-path distances from `source` over the repo graph —
+    * the reference's webgraph distance queries
+    * (crates/core/src/webgraph/shortest_path.rs: `dijkstra_multi` with
+    * unit edge cost = breadth-first levels, `raw_distances_with_max`
+    * caps the depth, the `reversed` variants walk inbound edges).
+    * Returns (repo, dist) with dist = minimum hop count, source at 0.
+    *
+    * Scale shape: each round is one frontier⋈edges join (src-keyed
+    * shuffle) plus an anti-join against the visited set — no driver
+    * state beyond the loop counter; rounds are bounded by `maxDist`
+    * (the reference caps at u8 too). Per-round lineage is
+    * localCheckpoint-truncated — the iterative-Catalyst trap. */
+  def distances(edges: DataFrame, source: String, maxDist: Int,
+                reversed: Boolean = false): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 255, "dist is a u8 in the reference")
+    val e = (if (reversed) edges.select(col("dst").as("from"), col("src").as("to"))
+             else edges.select(col("src").as("from"), col("dst").as("to")))
+      .where(col("from") =!= col("to")).distinct().localCheckpoint()
+    var visited = e.sparkSession.range(1)
+      .select(lit(source).as("repo"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select("repo")
+    var d = 1
+    var exhausted = false
+    while (d <= maxDist && !exhausted) {
+      val next = frontier.join(e, e("from") === frontier("repo"))
+        .select(col("to").as("repo")).distinct()
+        .join(visited, Seq("repo"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited
+          .union(next.select(col("repo"), lit(d.toLong).as("dist")))
+          .localCheckpoint()
+        frontier = next
+      }
+      d += 1
+    }
+    visited
+  }
+
+  /** "Similar hosts" analog (reference similar_hosts.rs +
+    * ranking/inbound_similarity.rs): rank repos by how much their
+    * inbound-link profile overlaps the `liked` repos'.
+    *
+    * Candidate generation = the reference's `potential_nodes`
+    * (similar_hosts.rs:118-166): the liked repos' inbound sources
+    * ("backlink nodes") vote for every repo they link to; when there
+    * are more than `backlinkThreshold` voters, repos backed by more
+    * than ceil(`popularFraction`·voters) of them are dropped as
+    * too-popular and the pool shrinks to `approxCandidates`, else the
+    * pool caps at `candidatesLimit`. Liked repos are excluded.
+    *
+    * Scoring = inbound_similarity::Scorer with no dislikes, normalized
+    * (similar_hosts.rs:62, inbound_similarity.rs:100-120):
+    * score(c) = max(0, Σ_l sim(l, c) / |liked|) where sim is the
+    * binary-set cosine |inb(l)∩inb(c)| / (√|inb(l)|·√|inb(c)|)
+    * (bitvec_similarity.rs:165-180 — its bloom prefilter is a
+    * shortcut approximation we skip, so scores here are exact).
+    * The Σ folds in `liked` order (deterministic float summation, the
+    * engine-wide ord-order rule). The reference sorts candidate votes
+    * and final scores with unspecified tie order (HashMap iteration);
+    * here both tie-break on repo id so results are reproducible.
+    *
+    * Scale shape: backlink extraction filters on ≤|liked| keys; the
+    * vote count is one src-keyed join + dst-keyed partial agg; the
+    * candidate pool is driver-bounded (≤1024); intersections join the
+    * liked-inbound rows (small) with the candidate-inbound rows
+    * (bucket-bounded) on src — no corpus×corpus pair production. */
+  def similarRepos(edges: DataFrame, liked: Seq[String], limit: Int,
+                   backlinkThreshold: Int = 32,
+                   popularFraction: Double = 0.25,
+                   approxCandidates: Int = 256,
+                   candidatesLimit: Int = 1024): DataFrame = {
+    require(liked.nonEmpty, "need at least one liked repo")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val back = e.where(col("dst").isin(liked: _*)).select("src").distinct()
+    val nBack = back.count()
+    val votes = e.join(broadcast(back), Seq("src"))
+      .where(!col("dst").isin(liked: _*))
+      .groupBy("dst").agg(count(lit(1)).as("cnt"))
+    val applyFilter = nBack > backlinkThreshold
+    val capped =
+      if (applyFilter)
+        votes.where(col("cnt") <= math.ceil(nBack * popularFraction).toLong)
+      else votes
+    val nCand = if (applyFilter) approxCandidates else candidatesLimit
+    val cand = capped.orderBy(col("cnt").desc, col("dst"))
+      .limit(nCand).select(col("dst").as("cand")).localCheckpoint()
+    val deg = e.groupBy("dst").agg(count(lit(1)).as("deg"))
+    val li = e.where(col("dst").isin(liked: _*))
+      .select(col("dst").as("l"), col("src"))
+    val ci = e.join(broadcast(cand), e("dst") === cand("cand"))
+      .select(col("cand").as("c"), col("src"))
+    val inter = li.join(ci, Seq("src")).groupBy("l", "c")
+      .agg(count(lit(1)).as("inter"))
+    // liked-list position for the deterministic fold order
+    val liCol: Column = liked.zipWithIndex.tail
+      .foldLeft(when(col("l") === liked.head, lit(0))) {
+        case (acc, (r, i)) => acc.when(col("l") === r, lit(i))
+      }
+    val sims = inter
+      .join(deg.select(col("dst").as("l"), col("deg").as("dl")), Seq("l"))
+      .join(deg.select(col("dst").as("c"), col("deg").as("dc")), Seq("c"))
+      .select(col("c"), liCol.as("li"),
+        (col("inter").cast("double") /
+          (sqrt(col("dl").cast("double")) * sqrt(col("dc").cast("double"))))
+          .as("sim"))
+    val scored = sims.groupBy("c")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("li"), col("sim")))),
+        lit(0.0), (acc, x) => acc + x.getField("sim")).as("ssum"))
+    // zero-overlap candidates still rank (score 0.0), like the
+    // reference's scored_nodes over every potential node
+    cand.join(scored, cand("cand") === scored("c"), "left_outer")
+      .select(col("cand").as("repo"),
+        greatest(lit(0.0),
+          coalesce(col("ssum"), lit(0.0)) / lit(liked.size.toDouble))
+          .as("score"))
+      .orderBy(col("score").desc, col("repo"))
+      .limit(limit)
+  }
 }

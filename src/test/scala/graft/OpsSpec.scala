@@ -308,6 +308,117 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(dist - exact) <= 64 * bound + 1e-9)
   }
 
+  test("webgraph distances: BFS min-hop, cycle-safe, reversed, maxDist cap") {
+    import spark.implicits._
+    // a -> b -> c -> a (cycle), c -> d, x -> y (unreachable island)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("x", "y")).toDF("src", "dst")
+    val d = Webgraph.distances(edges, "a", maxDist = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // reversed: who reaches d, at what distance
+    val rd = Webgraph.distances(edges, "d", maxDist = 6, reversed = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rd == Map("d" -> 0L, "c" -> 1L, "b" -> 2L, "a" -> 3L))
+    // cap stops the walk
+    val capped = Webgraph.distances(edges, "a", maxDist = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("a" -> 0L, "b" -> 1L))
+  }
+
+  /** Scala replica of similarRepos (reference potential_nodes +
+    * inbound_similarity semantics), folding sims in liked order so the
+    * doubles are bit-comparable with the DataFrame path. */
+  private def bruteSimilar(edges: Seq[(String, String)], liked: Seq[String],
+                           limit: Int): Seq[(String, Double)] = {
+    val e = edges.distinct.filter(p => p._1 != p._2)
+    val inb = e.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._1).toSet }
+    val back = liked.flatMap(l => inb.getOrElse(l, Set.empty[String])).toSet
+    val votes = e.filter(p => back(p._1) && !liked.contains(p._2))
+      .groupBy(_._2).map { case (dst, xs) => dst -> xs.size }
+    val applyF = back.size > 32
+    val kept =
+      if (applyF) votes.filter(_._2 <= math.ceil(back.size * 0.25))
+      else votes
+    val nCand = if (applyF) 256 else 1024
+    val cand = kept.toSeq.sortBy { case (dst, c) => (-c, dst) }
+      .take(nCand).map(_._1)
+    cand.map { c =>
+      val ic = inb.getOrElse(c, Set.empty[String])
+      val s = liked.foldLeft(0.0) { (acc, l) =>
+        val il = inb.getOrElse(l, Set.empty[String])
+        acc + (if (il.isEmpty || ic.isEmpty) 0.0
+               else (il & ic).size / (math.sqrt(il.size) * math.sqrt(ic.size)))
+      }
+      c -> math.max(0.0, s / liked.size)
+    }.sortBy { case (r, sc) => (-sc, r) }.take(limit)
+  }
+
+  test("similarRepos == liked-order brute force; too-popular filter engages") {
+    import spark.implicits._
+    // small graph, no filter (few backlink sources)
+    val small = Seq(
+      ("s1", "A"), ("s2", "A"), ("s1", "B"), ("s3", "B"),
+      ("s1", "c1"), ("s2", "c1"), ("s3", "c2"), ("s4", "c2"),
+      ("s2", "c3"))
+    val got = Webgraph.similarRepos(small.toDF("src", "dst"),
+        Seq("A", "B"), limit = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(got == bruteSimilar(small, Seq("A", "B"), 10))
+    assert(got.nonEmpty && !got.exists(p => p._1 == "A" || p._1 == "B"))
+    // 40 backlink sources -> the 0.25 too-popular filter drops "pop"
+    // (40 votes > ceil(40*0.25)=10) while c0..c4 (8 votes each) stay
+    val big = (0 until 40).flatMap { i =>
+      Seq((s"s$i", "L"), (s"s$i", "pop"), (s"s$i", s"c${i % 5}"))
+    }
+    val gotBig = Webgraph.similarRepos(big.toDF("src", "dst"),
+        Seq("L"), limit = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(gotBig == bruteSimilar(big, Seq("L"), 10))
+    assert(!gotBig.exists(_._1 == "pop"))
+    assert(gotBig.map(_._1) == Seq("c0", "c1", "c2", "c3", "c4"))
+  }
+
+  test("embedNearDupPairs: planted exact dups always found; bucket+threshold == brute replica") {
+    import spark.implicits._
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      0L -> vec(1, 0, 0, 0), 1L -> vec(1, 0, 0, 0), // exact dup pair
+      2L -> vec(0, 1, 0, 0), 3L -> vec(0.9, 0.1, 0, 0),
+      4L -> vec(0, 0, 1, 0), 5L -> vec(0, 1, 0, 0)) // second exact dup
+    val df = rows.toDF("id", "v")
+    val tau = 0.95
+    val got = Dedup.embedNearDupPairs(df, "id", "v", dim = 4, tau = tau,
+        bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute replica of the operator: same deterministic planes, same
+    // bucket equality, same rounded-cosine threshold
+    def bucket(v: Array[Float]): Long = (0 until 4).map { b =>
+      val p = Similarity.plane(b, 4)
+      val d = v.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * p(i).toDouble)
+      if (d >= 0) 1L << b else 0L
+    }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expected = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && bucket(va) == bucket(vb)
+      if BigDecimal(cos(va, vb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    // identical vectors share every hyperplane sign: exact dups are
+    // ALWAYS candidates, independent of the plane draw
+    assert(got.contains((0L, 1L)) && got.contains((2L, 5L)))
+    // degenerate constant column: the hot-bucket cap drops the bucket
+    val const = (0L until 10L).map(i => i -> vec(1, 1, 1, 1)).toDF("id", "v")
+    assert(Dedup.embedNearDupPairs(const, "id", "v", dim = 4, tau = 0.5,
+      bits = 4, maxBucketSize = 5).isEmpty)
+  }
+
   test("shingles + fingerprint column ops") {
     import spark.implicits._
     val df = Seq((1L, "a b c d")).toDF("id", "text")
