@@ -624,6 +624,42 @@ object SparkEntry {
         .map { case (h, sc) => (h.rank, h.repo.toLong, sc) }
         .toDF("rank", "doc_id", "ltr")
     }),
+    "q_ltr_train" -> ((s, d) => {
+      // LambdaMART TRAINING, Spark-native (the reference trains via
+      // LightGBM lambdarank in ltr/lambdamart.py; ops.LtrTrain
+      // re-derives the published algorithm as histogram-GBDT Spark
+      // passes). Labels are per-query length quartiles, feature 0
+      // carries that signal, features 2-3 are hash noise — the trained
+      // ensemble must route its splits to the informative feature.
+      // Training is not SQL-expressible -> rows-only entry; the
+      // algorithm is gated by LtrTrainSpec (brute-force split parity,
+      // determinism, round-trip through core.Ltr.parse).
+      import s.implicits._
+      import graft.ops.LtrTrain
+      val names = Array("loglen", "digit_ratio", "noise_a", "noise_b")
+      val base = t(s, d, "documents").select(
+        pmod(col("doc_id"), lit(48)).as("qid"),
+        col("doc_id").as("docId"),
+        log(lit(1.0) + length(col("text"))).as("f0"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          (length(col("text")) + lit(1))).as("f1"),
+        (pmod(xxhash64(col("doc_id")), lit(1000)).cast("double") / 1000.0).as("f2"),
+        (pmod(xxhash64(col("doc_id"), lit(7)), lit(1000)).cast("double") / 1000.0).as("f3"))
+      val labeled = base.withColumn("label",
+        (ntile(4).over(Window.partitionBy("qid")
+          .orderBy(col("f0"), col("docId"))) - 1).cast("double"))
+      val ds = labeled.select(col("qid"), col("docId"), col("label"),
+        array(col("f0"), col("f1"), col("f2"), col("f3")).as("features"))
+        .as[LtrTrain.LtrTrainRow]
+      val m = LtrTrain.train(ds, names, LtrTrain.Config(numTrees = 6,
+        maxDepth = 3, numBins = 16, learningRate = 0.3))
+      val ndcg = LtrTrain.evalNdcg(ds, m.ensemble, names, 5)
+      val splits = m.ensemble.trees.flatMap(_.splitFeature)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      names.zipWithIndex.map { case (n, i) =>
+        (n, splits.getOrElse(i, 0), m.treesBuilt, math.rint(ndcg * 100) / 100)
+      }.toSeq.toDF("feature", "splits", "trees", "ndcg5")
+    }),
     "q_engine_signals" -> ((s, d) => {
       // linear ranking model over the signal framework (explainable)
       val idx = docIndex(s, d)
