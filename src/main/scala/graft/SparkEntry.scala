@@ -591,6 +591,33 @@ object SparkEntry {
         .map { case (q, c) => (q, c.getOrElse("")) }
         .toDF("query", "corrected").orderBy("query")
     }),
+    "q_spell_train" -> ((s, d) => {
+      // Spelling ERROR-MODEL training (reference crates/web-spell
+      // trainer.rs SecondTrainer::train): typos are planted
+      // deterministically from the table itself (docs where
+      // doc_id%50=0 misspell table->tble, merge->mrge), then harvested
+      // back — dictionary + trigram counts, SymSpell-bucketed
+      // candidate pairs (10x frequency factor, length-bucketed edit
+      // budget), trigram context voting. Face = the winning
+      // (misspelling, correction) pairs, i.e. the relational bulk of
+      // the pipeline; the char-level edit-sequence DP
+      // (ErrorModel.possibleErrors) on top is gated by SpellTrainSpec
+      // against the reference's own test vectors. The face runs with
+      // the hot-bucket cap disabled so bucketing recall is exactly
+      // brute force (SpellTrainSpec property); production keeps the
+      // default cap.
+      import graft.ops.SpellTrain
+      val corpus = t(s, d, "documents").select(
+        when(pmod(col("doc_id"), lit(50)) === 0,
+          regexp_replace(regexp_replace(col("text"), "\\btable\\b", "tble"),
+            "\\bmerge\\b", "mrge"))
+          .otherwise(col("text")).as("text"))
+      val cfg = SpellTrain.Config(minContextCount = 1, maxBucket = Int.MaxValue)
+      val winners = SpellTrain.winningPairs(
+        SpellTrain.candidatePairs(SpellTrain.termCounts(corpus, "text"), cfg),
+        SpellTrain.trigramCounts(corpus, "text"), cfg)
+      winners.orderBy("a", "c")
+    }),
     "q_pipeline" -> ((s, d) => {
       // full serving pipeline: parse -> recall -> signals -> bucket
       // dedup -> snippets. Snippet text resolves AFTER the collector via
@@ -2351,6 +2378,54 @@ object SparkEntry {
        |ORDER BY query""".stripMargin
   }
 
+  /** q_spell_train oracle: brute-force replica of the SymSpell-bucketed
+    * candidate harvest + trigram context vote (bucketing recall ==
+    * brute force is SpellTrainSpec's property; the face runs with the
+    * hot-bucket cap disabled so the equality is exact). Tie-break in
+    * the context vote mirrors the reference's max_by-keeps-last over
+    * [corrections..., term]: count desc, then the original term, then
+    * lexicographically-last. */
+  private def spellTrainOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 50 = 0
+      |           THEN regexp_replace(regexp_replace(text, '\btable\b', 'tble', 'g'),
+      |                               '\bmerge\b', 'mrge', 'g')
+      |           ELSE text END AS text
+      |  FROM documents),
+      |tok0 AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term,
+      |                generate_subscripts(string_split(lower(text),' '),1) AS pos
+      |         FROM corpus),
+      |tk AS (SELECT doc_id, term, pos FROM tok0 WHERE term <> ''),
+      |tc AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+      |tri0 AS (SELECT doc_id, term AS w1,
+      |                lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+      |                lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      |         FROM tk),
+      |tri AS (SELECT w1, w2, w3, count(*) AS cnt FROM tri0
+      |        WHERE w2 IS NOT NULL AND w3 IS NOT NULL GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT a.term AS a, b.term AS b
+      |  FROM tc a JOIN tc b ON a.term <> b.term
+      |  WHERE b.cnt > a.cnt * 10
+      |    AND levenshtein(a.term, b.term) <=
+      |        CASE WHEN length(a.term) <= 4 THEN 1
+      |             WHEN length(a.term) <= 12 THEN 2 ELSE 3 END),
+      |ctx AS (SELECT DISTINCT p.a, t.w1, t.w3
+      |        FROM tri t JOIN (SELECT DISTINCT a FROM pairs) p ON t.w2 = p.a
+      |        WHERE t.cnt >= 1),
+      |cands AS (SELECT a, b AS c FROM pairs
+      |          UNION SELECT DISTINCT a, a FROM pairs),
+      |scored AS (SELECT cx.a, cx.w1, cx.w3, cd.c, coalesce(l.cnt, 0) AS n
+      |           FROM ctx cx JOIN cands cd ON cd.a = cx.a
+      |           LEFT JOIN tri l ON l.w1 = cx.w1 AND l.w3 = cx.w3
+      |                          AND l.w2 = cd.c),
+      |wnr AS (SELECT a, c, row_number() OVER (PARTITION BY a, w1, w3
+      |               ORDER BY n DESC, (c = a) DESC, c DESC) AS rn
+      |        FROM scored)
+      |SELECT DISTINCT a, c FROM wnr WHERE rn = 1 AND c <> a
+      |ORDER BY a, c""".stripMargin
+
   /** q_multimodal_features: the STUB decoder is a deterministic FNV +
     * xorshift-multiply mix (Multimodal.fakeDecodeFeatures) — replicated
     * with HUGEINT mod-2^64 arithmetic so the whole binary-column
@@ -2737,6 +2812,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsOracleSql,
     "q_multimodal_features" -> multimodalFeaturesOracleSql,
     "q_spell" -> spellOracleSql,
+    "q_spell_train" -> spellTrainOracleSql,
     "q_engine_json" -> engineJsonOracleSql,
     "q_engine_links" -> engineLinksOracleSql,
     "q_engine_safesearch" -> engineSafeSearchOracleSql,

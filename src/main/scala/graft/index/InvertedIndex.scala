@@ -1250,23 +1250,28 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     else searchTermSet(terms, k)
   }
 
-  /** Spell correction (scoped re-derivation of crates/web-spell: the
+  /** Spell correction (re-derivation of crates/web-spell: the
     * reference trains a char-level error model + a stupid-backoff
     * n-gram LM from harvested text; here the index IS the corpus —
     * unigram probabilities come from content-term doc frequencies,
     * bigram context from the compound-bigram shadow field when the
-    * index has one, and the error model is a fixed per-edit penalty).
+    * index has one). The edit penalty is a fixed per-edit factor by
+    * default; pass a corpus-harvested `errorModel` (ops.SpellTrain)
+    * to use the reference's noisy-channel 2^logProb edit-sequence
+    * factor instead (spell_checker.rs:101-114 shape; no edit ⇒ 1).
     * Per query term: candidates within `maxDist` edits from the term
     * dictionary (length-prefiltered Levenshtein pushed into the scan),
     * scored by stupid backoff
     * S(c|prev) = df2(prev,c)/df(prev) if observed else alpha * df(c)/N
-    * times penalty^dist; the original term competes at dist 0, and a
-    * correction must beat it by `margin`. Returns None if nothing
+    * times the edit factor; the original term competes at dist 0, and
+    * a correction must beat it by `margin`. Returns None if nothing
     * changed. */
   def spellCorrect(query: String, maxDist: Int = 2, cap: Int = 64,
                    penalty: Double = 0.06, alpha: Double = 0.4,
-                   margin: Double = 2.0): Option[String] =
-    spellCorrectBatch(Seq(query), maxDist, cap, penalty, alpha, margin).head
+                   margin: Double = 2.0,
+                   errorModel: Option[graft.core.ErrorModel] = None): Option[String] =
+    spellCorrectBatch(Seq(query), maxDist, cap, penalty, alpha, margin,
+      errorModel).head
 
   /** Batched spell correction: THREE distributed jobs total for any
     * number of queries (round 2 launched 3-4 jobs PER TERM) --
@@ -1277,10 +1282,14 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     *  3. one bigram-field df fetch for every plausible (prev-candidate,
     *     candidate) context pair -- the corrected-prev chain then picks
     *     from these driver-side.
-    * Scoring is unchanged (stupid backoff x per-edit penalty). */
+    * Scoring is unchanged (stupid backoff x edit factor: the fixed
+    * per-edit penalty, or the harvested noisy-channel 2^logProb when
+    * an ops.SpellTrain `errorModel` is passed). */
   def spellCorrectBatch(queries: Seq[String], maxDist: Int = 2, cap: Int = 64,
                         penalty: Double = 0.06, alpha: Double = 0.4,
-                        margin: Double = 2.0): Seq[Option[String]] = {
+                        margin: Double = 2.0,
+                        errorModel: Option[graft.core.ErrorModel] = None)
+      : Seq[Option[String]] = {
     import org.apache.spark.sql.functions.{length => slen, levenshtein, lit}
     val termLists = queries.map(q => Tokenizers.default(q).toSeq)
     val uniq = termLists.flatten.distinct
@@ -1359,7 +1368,11 @@ final class InvertedIndex(spark: SparkSession, dir: String,
                 if (b > 0) b / dfPrev.toDouble else alpha * uni
               case _ => uni
             }
-            ctx * math.pow(penalty, dist(t, c).toDouble)
+            val edit = errorModel match {
+              case Some(m) => m.editFactor(t, c)
+              case None => math.pow(penalty, dist(t, c).toDouble)
+            }
+            ctx * edit
           }
           val own = score(t)
           val best = cands.maxBy(score)
