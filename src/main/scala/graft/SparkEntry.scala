@@ -618,6 +618,41 @@ object SparkEntry {
         SpellTrain.trigramCounts(corpus, "text"), cfg)
       winners.orderBy("a", "c")
     }),
+    "q_nb_classify" -> ((s, d) => {
+      // TF-IDF Naive Bayes text classification (naive_bayes.rs +
+      // webpage/safety_classifier.rs): normalize to the first 100
+      // words, train on 4/5 of the docs (label = lang), predict the
+      // held-out 1/5. Distributed fit = two vocab-bounded token
+      // aggregates; predict = broadcast term-weight join + ordered
+      // per-doc fold (bit-identical to the driver-side predict,
+      // NaiveBayesSpec). The reference's quirks — min-logprob class
+      // selection, +0.5 unseen-term constant, ln((c+1)/(total+1))
+      // smoothing — are reproduced, f32-quantized, and replicated in
+      // the oracle.
+      import graft.ops.NaiveBayes
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        NaiveBayes.normalizeCol(col("text")).as("ntext"))
+      val train = docs.where(pmod(col("doc_id"), lit(5)) < 4)
+      val test = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+      val m = NaiveBayes.fit(train, "ntext", "lang")
+      NaiveBayes.predictDf(m, test, "doc_id", "ntext")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
+    "q_nb_eval" -> ((s, d) => {
+      // safety_classifier.rs Evaluation analog: accuracy over the
+      // held-out split plus binary precision/recall/f1 for one
+      // positive class — all exact-integer-count divisions.
+      import graft.ops.NaiveBayes
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        NaiveBayes.normalizeCol(col("text")).as("ntext"))
+      val train = docs.where(pmod(col("doc_id"), lit(5)) < 4)
+      val test = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+      val m = NaiveBayes.fit(train, "ntext", "lang")
+      val pred = NaiveBayes.predictDf(m, test, "doc_id", "ntext")
+      val joined = pred.join(
+        test.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      NaiveBayes.evaluate(joined, "lang", "label", "de")
+    }),
     "q_pipeline" -> ((s, d) => {
       // full serving pipeline: parse -> recall -> signals -> bucket
       // dedup -> snippets. Snippet text resolves AFTER the collector via
@@ -2426,6 +2461,107 @@ object SparkEntry {
       |SELECT DISTINCT a, c FROM wnr WHERE rn = 1 AND c <> a
       |ORDER BY a, c""".stripMargin
 
+  /** Shared CTEs replicating ops.NaiveBayes training + prediction in
+    * DuckDB: normalize (first 100 words, lowercase), idf =
+    * f32(ln(N/(1+df))+1), per-class totals and per-doc scores as
+    * ORDERED folds (list_reduce by term id / class id — the same fold
+    * order the Scala side uses), flp = f32(ln((idf·cnt+1)/(total+1))),
+    * unseen-in-class terms weighted by the reference's +0.5 constant,
+    * winner = MIN score (ties → first class), confidence =
+    * max(min/sum, 0). All float inputs f32-quantized so both engines'
+    * double arithmetic is bit-identical. */
+  private def nbCtes: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |         lower(array_to_string(list_slice(
+      |           list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+      |           1, 100), ' ')) AS ntext
+      |  FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 5 < 4),
+      |test AS (SELECT * FROM docs WHERE doc_id % 5 = 4),
+      |trtok AS (SELECT doc_id, lang,
+      |                 unnest(list_filter(string_split(ntext, ' '),
+      |                        x -> x <> '')) AS term
+      |          FROM train),
+      |nn AS (SELECT count(*) AS n FROM train),
+      |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM trtok GROUP BY 1),
+      |vocab AS (SELECT term,
+      |                 CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS tid,
+      |                 CAST(ln(nn.n::DOUBLE / (1.0 + df)) + 1.0 AS REAL) AS idf
+      |          FROM dfq, nn),
+      |prior AS (SELECT cls,
+      |                 CAST(row_number() OVER (ORDER BY cls) - 1 AS BIGINT) AS cid,
+      |                 CAST(ln(cc::DOUBLE / nn.n) AS REAL) AS priorln
+      |          FROM (SELECT lang AS cls, count(*) AS cc FROM train GROUP BY 1), nn),
+      |ct AS (SELECT lang AS cls, term, count(*) AS cnt FROM trtok GROUP BY 1, 2),
+      |ctv AS (SELECT ct.cls, v.tid, v.idf, ct.cnt FROM ct JOIN vocab v USING (term)),
+      |tot AS (SELECT cls, list_reduce(list_prepend(0.0,
+      |               list(CAST(idf AS DOUBLE) * cnt ORDER BY tid)),
+      |               (a, b) -> a + b) AS total
+      |        FROM ctv GROUP BY cls),
+      |flp AS (SELECT c.cls, c.tid,
+      |               CAST(ln((CAST(c.idf AS DOUBLE) * c.cnt + 1.0) / (t.total + 1.0))
+      |                    AS REAL) AS lp
+      |        FROM ctv c JOIN tot t USING (cls)),
+      |wt AS (SELECT p.cls, p.cid, v.tid, v.term,
+      |              CAST(v.idf AS DOUBLE)
+      |                * CAST(coalesce(f.lp, 0.5::REAL) AS DOUBLE) AS w
+      |       FROM vocab v CROSS JOIN prior p
+      |       LEFT JOIN flp f ON f.cls = p.cls AND f.tid = v.tid),
+      |tetok AS (SELECT doc_id,
+      |                 unnest(list_filter(string_split(ntext, ' '),
+      |                        x -> x <> '')) AS term
+      |          FROM test),
+      |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tetok GROUP BY 1, 2),
+      |contrib AS (SELECT t.doc_id, w.cid, w.tid, t.tf::DOUBLE * w.w AS c
+      |            FROM tfq t JOIN wt w ON w.term = t.term),
+      |clist AS (SELECT doc_id, cid, list(c ORDER BY tid) AS cs
+      |          FROM contrib GROUP BY doc_id, cid),
+      |sc AS (SELECT b.doc_id, p.cls, p.cid,
+      |              list_reduce(list_prepend(CAST(p.priorln AS DOUBLE),
+      |                coalesce(l.cs, [])), (a, b) -> a + b) AS s
+      |       FROM (SELECT DISTINCT doc_id FROM test) b
+      |       CROSS JOIN prior p
+      |       LEFT JOIN clist l ON l.doc_id = b.doc_id AND l.cid = p.cid),
+      |agg AS (SELECT doc_id,
+      |               list_reduce(list_prepend(0.0, list(s ORDER BY cid)),
+      |                 (a, b) -> a + b) AS ssum,
+      |               min(s) AS smin
+      |        FROM sc GROUP BY doc_id),
+      |pick AS (SELECT doc_id, cls,
+      |                row_number() OVER (PARTITION BY doc_id
+      |                  ORDER BY s ASC, cid ASC) AS rn
+      |         FROM sc)""".stripMargin
+
+  private def nbClassifyOracleSql: String =
+    s"""$nbCtes
+       |SELECT a.doc_id, p.cls AS label,
+       |       CAST(greatest(a.smin / a.ssum, 0.0) AS REAL) AS confidence
+       |FROM agg a JOIN pick p ON p.doc_id = a.doc_id AND p.rn = 1
+       |ORDER BY a.doc_id""".stripMargin
+
+  private def nbEvalOracleSql: String =
+    s"""$nbCtes,
+       |pr AS (SELECT te.lang AS truth, p.cls AS pred
+       |       FROM pick p JOIN test te USING (doc_id) WHERE p.rn = 1),
+       |cts AS (SELECT
+       |          sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS hit,
+       |          count(*) AS n,
+       |          sum(CASE WHEN pred = 'de' AND truth = 'de' THEN 1 ELSE 0 END) AS tp,
+       |          sum(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS pp,
+       |          sum(CASE WHEN truth = 'de' THEN 1 ELSE 0 END) AS tn
+       |        FROM pr)
+       |SELECT hit::DOUBLE / n::DOUBLE AS accuracy,
+       |       tp::DOUBLE / greatest(pp, 1)::DOUBLE AS precision,
+       |       tp::DOUBLE / greatest(tn, 1)::DOUBLE AS recall,
+       |       CASE WHEN tp::DOUBLE / greatest(pp, 1)::DOUBLE
+       |               + tp::DOUBLE / greatest(tn, 1)::DOUBLE = 0.0 THEN 0.0
+       |            ELSE 2.0 * (tp::DOUBLE / greatest(pp, 1)::DOUBLE)
+       |                 * (tp::DOUBLE / greatest(tn, 1)::DOUBLE)
+       |                 / (tp::DOUBLE / greatest(pp, 1)::DOUBLE
+       |                    + tp::DOUBLE / greatest(tn, 1)::DOUBLE) END AS f1
+       |FROM cts""".stripMargin
+
   /** q_multimodal_features: the STUB decoder is a deterministic FNV +
     * xorshift-multiply mix (Multimodal.fakeDecodeFeatures) — replicated
     * with HUGEINT mod-2^64 arithmetic so the whole binary-column
@@ -2813,6 +2949,8 @@ object SparkEntry {
     "q_multimodal_features" -> multimodalFeaturesOracleSql,
     "q_spell" -> spellOracleSql,
     "q_spell_train" -> spellTrainOracleSql,
+    "q_nb_classify" -> nbClassifyOracleSql,
+    "q_nb_eval" -> nbEvalOracleSql,
     "q_engine_json" -> engineJsonOracleSql,
     "q_engine_links" -> engineLinksOracleSql,
     "q_engine_safesearch" -> engineSafeSearchOracleSql,
