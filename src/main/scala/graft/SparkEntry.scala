@@ -653,6 +653,46 @@ object SparkEntry {
         test.select(col("doc_id").as("id"), col("lang")), Seq("id"))
       NaiveBayes.evaluate(joined, "lang", "label", "de")
     }),
+    "q_canon" -> ((s, d) => {
+      // canonical-URL index analog (canon_index.rs): exact-dup groups
+      // elect the smallest id; the reference's insert rule skips
+      // self-mappings and cross-root-domain pairs. Dups are planted
+      // from the table itself: doc_id%10==7 docs take the text of
+      // doc_id-7 (same derived domain -> must map), doc_id%20==8
+      // (>=20) docs take the text of doc_id-18 (cross-domain -> must
+      // NOT map).
+      import graft.ops.Dedup
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val src = when(pmod(col("doc_id"), lit(10)) === 7, col("doc_id") - 7)
+        .when(pmod(col("doc_id"), lit(20)) === 8 && col("doc_id") >= 20,
+          col("doc_id") - 18)
+        .otherwise(col("doc_id"))
+      val corpus = docs.select(col("doc_id"), src.as("src"))
+        .join(docs.select(col("doc_id").as("src"), col("text")), Seq("src"))
+        .withColumn("dom",
+          concat(lit("d"), expr("CAST(doc_id / 10 AS BIGINT)")))
+      Dedup.canonicalMapping(corpus, "doc_id", "text", "dom").orderBy("id")
+    }),
+    "q_bangs" -> ((s, d) => {
+      // !bang query redirects (bangs.rs) — the serving-tier pre-search
+      // hook. The table derives from the region table (tag = lowercase
+      // region name); the probes cover hit, miss, multi-term encoding
+      // and plain-query paths. The string kernel is gated by BangsSpec
+      // against the reference's own test vectors; this entry is the
+      // rows-only driver face (no relational oracle for a pure string
+      // rewrite).
+      import s.implicits._
+      import graft.core.Bangs
+      val regions = t(s, d, "region").select(col("r_name")).as[String]
+        .collect().toSeq.sorted
+      val bangs = Bangs(regions.map(r =>
+        Bangs.Bang(r.toLowerCase,
+          s"example.org/${r.toLowerCase.replace(" ", "-")}?q={{{s}}}")))
+      val queries = Seq("!asia spark join", "!europe fast scan",
+        "!nowhere x", "plain query", "!africa a+b", "x !america !zz y")
+      queries.map(q => (q, bangs.hit(q).map(_.redirectTo).getOrElse("")))
+        .toDF("query", "redirect").orderBy("query")
+    }),
     "q_pipeline" -> ((s, d) => {
       // full serving pipeline: parse -> recall -> signals -> bucket
       // dedup -> snippets. Snippet text resolves AFTER the collector via
@@ -2951,6 +2991,23 @@ object SparkEntry {
     "q_spell_train" -> spellTrainOracleSql,
     "q_nb_classify" -> nbClassifyOracleSql,
     "q_nb_eval" -> nbEvalOracleSql,
+    // q_bangs: rows-only (pure string kernel, BangsSpec-gated)
+    "q_canon" ->
+      """WITH c0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+        |              WHEN doc_id % 20 = 8 AND doc_id >= 20 THEN doc_id - 18
+        |              ELSE doc_id END AS src
+        |  FROM documents),
+        |corpus AS (SELECT c0.doc_id AS id,
+        |                  'd' || CAST(c0.doc_id // 10 AS VARCHAR) AS domain,
+        |                  md5(s.text) AS ch
+        |           FROM c0 JOIN documents s ON s.doc_id = c0.src),
+        |m AS (SELECT id, domain,
+        |             min(id) OVER (PARTITION BY ch, domain) AS canonical_id
+        |      FROM corpus)
+        |SELECT id, canonical_id, domain FROM m WHERE id <> canonical_id
+        |ORDER BY id""".stripMargin,
     "q_engine_json" -> engineJsonOracleSql,
     "q_engine_links" -> engineLinksOracleSql,
     "q_engine_safesearch" -> engineSafeSearchOracleSql,

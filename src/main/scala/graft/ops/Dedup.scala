@@ -15,6 +15,26 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
+  /** Canonical-document mapping (reference canon_index.rs: an index of
+    * original-URL -> canonical-URL pairs whose insert SKIPS
+    * self-mappings and cross-root-domain pairs, canon_index.rs:41-44).
+    * The code-corpus analog elects the smallest id of each exact-dup
+    * group as canonical; per the reference's insert rule, a doc only
+    * maps when a same-domain canonical exists, so the window is keyed
+    * (content_hash, domain) — cross-domain duplicates never pair, and
+    * group keepers (id == canonical) emit no row. One shuffle on the
+    * dup key; no driver state. */
+  def canonicalMapping(df: DataFrame, idCol: String, textCol: String,
+                       domainCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash", "domain")
+    df.select(col(idCol).as("id"), col(domainCol).as("domain"),
+        md5(col(textCol).cast("binary")).as("content_hash"))
+      .withColumn("canonical_id", min(col("id")).over(w))
+      .where(col("id") =!= col("canonical_id"))
+      .select(col("id"), col("canonical_id"), col("domain"))
+  }
+
   /** MinHash-LSH candidate pairs: docs sharing any of `bands` band
     * signatures. Shuffle is keyed by (band, signature) — a classic
     * bucket join; no quadratic blow-up across buckets, and

@@ -30,6 +30,22 @@ class OpsSpec extends AnyFunSuite {
     assert(total == docs.count())
   }
 
+  test("canonicalMapping: same-domain dups map to min id, cross-domain and self excluded") {
+    import spark.implicits._
+    // dup groups: {1,2,3} same text — 1,2 in domain a (3 in b);
+    // {4,5} same text, different domains; 6 unique
+    val rows = Seq(
+      (1L, "same text", "a"), (2L, "same text", "a"), (3L, "same text", "b"),
+      (4L, "other text", "a"), (5L, "other text", "b"),
+      (6L, "unique", "a"))
+    val m = Dedup.canonicalMapping(rows.toDF("doc_id", "text", "dom"),
+        "doc_id", "text", "dom")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // only 2 -> 1 maps: 3 is the lone copy in domain b (self-canonical,
+    // canon_index.rs skips self-mappings), 4/5 are cross-domain
+    assert(m == Set((2L, 1L, "a")))
+  }
+
   test("simhash: identical text -> identical signature; determinism") {
     val a = Dedup.simhash64(Seq("the", "quick", "brown", "fox"))
     val b = Dedup.simhash64(Seq("the", "quick", "brown", "fox"))
