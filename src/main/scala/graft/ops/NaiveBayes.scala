@@ -71,8 +71,8 @@ object NaiveBayes {
           minDf: Long = 1L): Model = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = docs
-      .select(col(labelCol).cast("string").as("label"), col(textCol).as("text"))
+    val base = TextOps.fanOut(docs
+        .select(col(labelCol).cast("string").as("label"), col(textCol).as("text")))
       .withColumn("_doc", monotonically_increasing_id())
     val toks = base
       .select($"label", $"_doc", explode(split($"text", "\\s+")).as("term"))
@@ -164,7 +164,8 @@ object NaiveBayes {
     val start = array(m.priorLn.map(p => lit(p.toDouble)): _*)
     val classesArr = array(m.classes.map(lit(_)): _*)
 
-    val ids = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val ids = TextOps.fanOut(
+      docs.select(col(idCol).as("id"), col(textCol).as("text")))
     val tf = ids
       .select($"id", explode(split($"text", "\\s+")).as("term"))
       .where($"term" =!= "")

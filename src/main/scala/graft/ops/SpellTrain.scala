@@ -50,7 +50,7 @@ object SpellTrain {
   def termCounts(docs: DataFrame, textCol: String): Dataset[TermCount] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(textCol)).as[String]
+    TextOps.fanOut(docs.select(col(textCol))).as[String]
       .flatMap(t => Tokenizers.default(t))
       .groupBy(col("value").as("term")).agg(count(lit(1)).as("cnt"))
       .as[TermCount]
@@ -59,7 +59,7 @@ object SpellTrain {
   def trigramCounts(docs: DataFrame, textCol: String): Dataset[Trigram] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(textCol)).as[String]
+    TextOps.fanOut(docs.select(col(textCol))).as[String]
       .flatMap { t =>
         Tokenizers.default(t).sliding(3).filter(_.length == 3)
           .map(w => (w(0), w(1), w(2)))

