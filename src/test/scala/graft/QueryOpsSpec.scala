@@ -140,6 +140,21 @@ class QueryOpsSpec extends AnyFunSuite {
     assert(fixed.exists(_.contains("spark")), fixed.toString)
   }
 
+  test("spell correction consumes a harvested error model (noisy channel)") {
+    import graft.core.ErrorModel
+    // a model where the sparc->spark edit sequence was harvested often:
+    // its 2^logProb factor replaces the fixed per-edit penalty
+    val key = ErrorModel.seqKey(ErrorModel.possibleErrors("sparc", "spark").get)
+    val m = ErrorModel(Map(key -> 50L), 60L)
+    assert(index.spellCorrect("sparc data", errorModel = Some(m)) ==
+      Some("spark data"))
+    // real frequent words stay untouched under a model too (no edit ==
+    // factor 1, and the margin still guards)
+    assert(index.spellCorrect("spark data", errorModel = Some(m)).isEmpty)
+    // harvested sequences factor above unseen ones
+    assert(m.editFactor("sparc", "spark") > m.editFactor("spark", "sparks"))
+  }
+
   test("budgeted hits come from the high-static-rank prefix") {
     val budget = 10
     val (hits, _, sat) = index.searchApprox("the", 5, budget)
