@@ -682,6 +682,26 @@ object SparkEntry {
           concat(lit("d"), expr("CAST(doc_id / 10 AS BIGINT)")))
       Dedup.canonicalMapping(corpus, "doc_id", "text", "dom").orderBy("id")
     }),
+    "q_backlink_groups" -> ((s, d) => {
+      // grouped backlinks (backlink_grouper.rs + log_group.rs):
+      // inbound links bucket into 10 exponential bands by the SOURCE
+      // repo's rank, best rank -> highest band. In-degree rank stands
+      // in for the harmonic rank (identical column contract — the
+      // centrality jobs' output plugs straight in); LogGroupSpec pins
+      // the band math against the reference's own vectors.
+      import graft.ops.Webgraph
+      val edges = webgraphEdges(s, d)
+      val repos = edges.select(col("src").as("repo"))
+        .union(edges.select(col("dst"))).distinct()
+      val indeg = edges.groupBy(col("dst").as("repo"))
+        .agg(sum("weight").as("indeg0"))
+      val w = Window.orderBy(col("indeg").desc, col("repo"))
+      val ranks = repos.join(indeg, Seq("repo"), "left")
+        .select(col("repo"), coalesce(col("indeg0"), lit(0L)).as("indeg"))
+        .withColumn("rank", (row_number().over(w) - 1).cast("long"))
+      val n = repos.count()
+      Webgraph.groupedBacklinks(edges, ranks, n).orderBy("dst", "grp", "src")
+    }),
     "q_summarize" -> ((s, d) => {
       // query-specific extractive summarization (summarizer.rs):
       // overlapping word windows scored against the query, top-n
@@ -3128,6 +3148,25 @@ object SparkEntry {
         |SELECT src, dst, count(*) AS weight FROM e WHERE src <> dst
         |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
     "q_similar_repos" -> similarReposOracleSql(Seq("r3", "r7"), 20),
+    "q_backlink_groups" ->
+      s"""WITH $webgraphEdgesCte,
+         |ewg AS (SELECT src, dst, count(*) AS weight FROM ew
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |repos AS (SELECT src AS repo FROM ewg UNION SELECT dst FROM ewg),
+         |ind AS (SELECT dst AS repo, sum(weight) AS indeg FROM ewg GROUP BY 1),
+         |rk AS (SELECT r.repo,
+         |              CAST(row_number() OVER (
+         |                ORDER BY coalesce(i.indeg, 0) DESC, r.repo) - 1
+         |                AS BIGINT) AS rank
+         |       FROM repos r LEFT JOIN ind i ON i.repo = r.repo),
+         |nn AS (SELECT count(*) AS n FROM repos),
+         |lb AS (SELECT ln(exp(ln(n::DOUBLE) / 10.0)) AS lnbase FROM nn)
+         |SELECT e.dst,
+         |       9 - least(CAST(floor(ln((k.rank + 1)::DOUBLE) / lb.lnbase)
+         |                  AS BIGINT), 9) AS grp,
+         |       e.src, k.rank
+         |FROM ewg e JOIN rk k ON k.repo = e.src, lb
+         |ORDER BY e.dst, grp, e.src""".stripMargin,
     "q_shortest_path" ->
       s"""WITH RECURSIVE $webgraphEdgesCte,
          |bfs(repo, dist) AS (

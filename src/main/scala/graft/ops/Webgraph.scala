@@ -32,6 +32,30 @@ object Webgraph {
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
 
+  /** Grouped backlinks (reference backlink_grouper.rs + log_group.rs:
+    * a page's inbound links are bucketed into `groups` exponential
+    * bands by the SOURCE host's centrality rank — best-ranked sources
+    * land in the highest group; the reference feeds its grouped
+    * backlink schema fields from this with NUM_GROUPS = 10).
+    *
+    * `edges` is the (src, dst) repo graph; `ranks` maps repo → rank
+    * (0 = best; any centrality order works — ops.Centrality's jobs or
+    * a cheap in-degree rank). One broadcast-or-shuffle join keyed by
+    * src plus a pure column expression for the band: group =
+    * groups - 1 - min(trunc(ln(rank+1)/ln(base)), groups-1), with
+    * ln(base) computed driver-side from the SAME rounded base the
+    * kernel uses, so column and kernel agree bit-for-bit. */
+  def groupedBacklinks(edges: DataFrame, ranks: DataFrame, numHosts: Long,
+                       groups: Long = 10L): DataFrame = {
+    val lg = new graft.core.LogGroup(numHosts, groups)
+    val grp = lit(groups - 1) -
+      least(floor(log(col("rank") + 1) / lit(lg.lnBase)).cast("long"),
+        lit(groups - 1))
+    edges.select(col("src"), col("dst"))
+      .join(ranks.select(col("repo").as("src"), col("rank")), Seq("src"))
+      .select(col("dst"), grp.as("grp"), col("src"), col("rank"))
+  }
+
   /** BFS shortest-path distances from `source` over the repo graph —
     * the reference's webgraph distance queries
     * (crates/core/src/webgraph/shortest_path.rs: `dijkstra_multi` with
