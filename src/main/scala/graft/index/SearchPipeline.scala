@@ -30,7 +30,23 @@ object SearchPipeline {
                           coeffs: Map[String, Double] = Signals.DefaultCoefficients,
                           deRankSimilar: Boolean = true,
                           snippetCfg: Snippets.Config = Snippets.Config(),
-                          optic: Option[Optics.Optic] = None)
+                          optic: Option[Optics.Optic] = None,
+                          bangs: Option[graft.core.Bangs] = None)
+
+  /** The reference's api entrypoint checks the bang table BEFORE
+    * searching and redirects on a hit (api/search/mod.rs shape,
+    * bangs.rs): Left(redirect) short-circuits the whole pipeline;
+    * Right(results) is a normal `run`. Callers without a bang table
+    * (cfg.bangs = None) always get Right. */
+  def runOrRedirect(idx: InvertedIndex, query: String, k: Int,
+                    fetchTexts: Seq[(String, String)] => Map[(String, String), String] =
+                      _ => Map.empty,
+                    cfg: Config = Config())
+      : Either[graft.core.Bangs.BangHit, Seq[SearchResult]] =
+    cfg.bangs.flatMap(_.hit(query)) match {
+      case Some(h) => Left(h)
+      case None => Right(run(idx, query, k, fetchTexts, cfg))
+    }
 
   /** `fetchTexts` is invoked ONCE, with only the k winning (repo, path)
     * keys, after the collector has picked the final page — the

@@ -30,6 +30,20 @@ class OpsSpec extends AnyFunSuite {
     assert(total == docs.count())
   }
 
+  test("fanOut widens narrow inputs and is a no-op on wide ones") {
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    val narrow = (0 until 100).toDF("x").coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    assert(TextOps.fanOut(narrow).rdd.getNumPartitions == p)
+    // already-wide input keeps its partitioning (the 100 TB case: no
+    // extra shuffle)
+    val wide = (0 until 100).toDF("x").repartition(p + 4)
+    assert(TextOps.fanOut(wide).rdd.getNumPartitions == p + 4)
+    // values unchanged either way
+    assert(TextOps.fanOut(narrow).as[Int].collect().sorted.toSeq == (0 until 100))
+  }
+
   test("canonicalMapping: same-domain dups map to min id, cross-domain and self excluded") {
     import spark.implicits._
     // dup groups: {1,2,3} same text — 1,2 in domain a (3 in b);

@@ -84,6 +84,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bang hit short-circuits the pipeline; miss falls through to search") {
+    import graft.core.Bangs
+    val bangs = Bangs(Seq(Bangs.Bang("gh", "github.example/search?q={{{s}}}")))
+    val cfg = SearchPipeline.Config(bangs = Some(bangs))
+    val hit = SearchPipeline.runOrRedirect(index, "!gh data table", 10, fetch, cfg)
+    assert(hit == Left(Bangs.BangHit(bangs.hit("!gh x").get.bang,
+      "https://github.example/search?q=data%20table")))
+    // unmatched bang / no bang: normal search results
+    val miss = SearchPipeline.runOrRedirect(index, "data table merge", 10, fetch, cfg)
+    assert(miss.isRight && miss.toOption.get.nonEmpty)
+    // no table configured: never redirects even for bang-shaped queries
+    val none = SearchPipeline.runOrRedirect(index, "!gh data", 10, fetch)
+    assert(none.isRight)
+  }
+
   test("empty query yields no results") {
     assert(SearchPipeline.run(index, "", 5).isEmpty)
     assert(SearchPipeline.run(index, "zzzznotaterm", 5).isEmpty)
