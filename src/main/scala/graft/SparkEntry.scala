@@ -1959,6 +1959,11 @@ object SparkEntry {
       case Optics.Domain => "site"
       case Optics.Url => "url"
       case Optics.Title => "title"
+      // the face's OpticText carries no Content pattern (those lower
+      // to the positions engine, q_optics_pattern) — fail loudly if
+      // one sneaks into this metadata-only oracle
+      case Optics.Content =>
+        throw new IllegalArgumentException("q_optics oracle is metadata-only")
     }
     def ruleMatch(r: Optics.Rule): String =
       r.matches.map(_.map(m =>
