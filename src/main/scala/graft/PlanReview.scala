@@ -78,6 +78,20 @@ object PlanReview {
       idx.docs.filter($"repo" === "org001/repo001")
         .orderBy($"segment", $"docId").limit(10).toDF())
 
+    // 11. NB classification: the model term table must be a
+    //     BroadcastHashJoin (never a shuffle of the model)
+    show("q_nb_classify", SparkEntry.queries("q_nb_classify")(spark, "/root/testdata/sf0.001"))
+
+    // 12. spell error-model harvest: bucketed self-join + anti-join
+    //     prune (no cartesian)
+    show("q_spell_train (winners)", SparkEntry.queries("q_spell_train")(spark, "/root/testdata/sf0.001"))
+
+    // 13. bloom membership: broadcast filter probe over a fanned scan
+    show("q_bloom", SparkEntry.queries("q_bloom")(spark, "/root/testdata/sf0.001"))
+
+    // 14. grouped backlinks: one src-keyed join + column band math
+    show("q_backlink_groups", SparkEntry.queries("q_backlink_groups")(spark, "/root/testdata/sf0.001"))
+
     // 11. pipeline simhash fetch: candidate (repo, path) keys broadcast
     //     against the doc table — a BroadcastHashJoin projecting only
     //     repo/path/simhash, NOT a repo-wide collect (one monorepo
