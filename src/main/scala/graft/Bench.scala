@@ -208,12 +208,23 @@ object Bench {
         }
         // no plausible pair at all (every pair phase-shifted): report the
         // best raw pair capped at 1.0 — true efficiency cannot exceed it
-        val (eff, row) =
+        val (eff0, row) =
           if (bestValid >= 0) (bestValid, bestValidRow)
           else (math.min(bestAny, 1.0), bestAnyRow)
+        // the HEADLINE clamps at 1.0: a pair inside the plausibility
+        // window can still be noise-flattered slightly above 1 (r05
+        // recorded 1.008, contradicting the 0.84-0.89 distribution of
+        // clean runs) and true efficiency cannot exceed 1. The raw pair
+        // list and the median of accepted pairs stay in the artifact so
+        // a reader sees the distribution, not just the best case.
+        val eff = math.min(eff0, 1.0)
+        val valid = allEffs.filter(e => e <= MaxPlausible && e > 0).sorted
+        val effMedian =
+          if (valid.isEmpty) 0.0
+          else math.min(valid((valid.length - 1) / 2), 1.0)
         val (rN, tN, r4N, t4N) = row
         val effList = allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
-        f""","build_docs":$benchDocs,"scaling_n":$n,"scaling_pairs":$pair,"scaling_pair_effs":$effList,"rN_docs_per_sec":$rN%.1f,"tN_sec":$tN%.2f,"r4N_docs_per_sec":$r4N%.1f,"t4N_sec":$t4N%.2f,"scaling_efficiency":$eff%.3f"""
+        f""","build_docs":$benchDocs,"scaling_n":$n,"scaling_pairs":$pair,"scaling_pair_effs":$effList,"scaling_pair_eff_median":$effMedian%.3f,"rN_docs_per_sec":$rN%.1f,"tN_sec":$tN%.2f,"r4N_docs_per_sec":$r4N%.1f,"t4N_sec":$t4N%.2f,"scaling_efficiency":$eff%.3f"""
       }.getOrElse(""","scaling_error":"child build failed"""")
     }
 

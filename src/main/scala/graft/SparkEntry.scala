@@ -313,6 +313,53 @@ object SparkEntry {
             col("h").cast("double") * 0.15 + lit(12.0)).as("within_bound"))
         .orderBy("node")
     }),
+    "q_centrality_approx" -> ((s, d) => {
+      // sampled-source approximate harmonic centrality (the reference's
+      // approx_harmonic.rs page-scale path: s = ceil(log2(n)/eps^2)
+      // seeded-sample sources, capped BFS, n/(s(n-1)) norm). Contract
+      // face like the HyperBall one: exact integer score + per-node
+      // within-bound flag of the sampled estimate against the exact
+      // normalized value h/(12*(n-1)); the oracle recomputes the exact
+      // side and asserts the flag. Bound: the sampling is seeded-hash
+      // deterministic and the graph is SF-independent, so the deviation
+      // is a FIXED number (measured max 0.0397, mean 0.0097 at s=100 of
+      // 500 sources); 0.06 clears it while still failing loudly on a
+      // sampling or BFS regression — the theory bound (epsilon) is 0.3.
+      val edges = centralityEdges(s, d).cache()
+      val exact = CentralityOps.harmonicExact(s, edges, maxDepth = 4)
+      val approx = CentralityOps.approxHarmonic(s, edges, maxDist = 4)
+      exact.join(approx, Seq("node"), "left_outer")
+        .select(col("node"), col("h"),
+          (abs(coalesce(col("score"), lit(0.0)) -
+            col("h").cast("double") / lit(12.0 * 499.0)) <= lit(0.06))
+            .as("within_bound"))
+        .orderBy("node")
+    }),
+    "q_betweenness" -> ((s, d) => {
+      // Brandes betweenness (betweenness.rs) on a 60-node derived graph
+      // with all nodes as sources. Two oracle-checkable columns: the
+      // through-shortest-path COUNT spc(v) = sum sigma_sv*sigma_vt over
+      // pairs with d_sv+d_vt=d_st (exact integer — the SQL oracle
+      // reproduces it from 6 unrolled walk-count levels), and a flag
+      // asserting the back-propagated Brandes score equals the
+      // pair-dependency identity it must satisfy (float tolerance; the
+      // oracle asserts the flag). Both sides cap BFS at depth 6.
+      val nodes = t(s, d, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id").as("src"))
+      val edges = Seq((7L, 3L), (13L, 11L), (29L, 17L)).map { case (a, b) =>
+        nodes.select(col("src"), ((col("src") * a + b) % 60).as("dst"))
+      }.reduce(_ union _).where(col("src") =!= col("dst")).cache()
+      val sources = nodes.select(col("src").as("s"))
+      val bc = CentralityOps.betweenness(s, edges, sources, maxDepth = 6)
+      val pd = CentralityOps.betweennessPairDependency(s, edges, sources,
+        maxDepth = 6)
+      bc.join(pd, Seq("node"))
+        .select(col("node"), col("spc"),
+          (abs(col("bc") - col("bc_formula")) <=
+            lit(1e-9) + abs(col("bc_formula")) * lit(1e-9))
+            .as("within_bound"))
+        .orderBy("node")
+    }),
     "q_count_distinct_hll" -> ((s, d) => {
       // HyperLogLog sketch face. The raw estimate is Spark-internal
       // (engine-specific, so no cross-engine oracle exists for the
@@ -764,9 +811,9 @@ object SparkEntry {
       // hook. The table derives from the region table (tag = lowercase
       // region name); the probes cover hit, miss, multi-term encoding
       // and plain-query paths. The string kernel is gated by BangsSpec
-      // against the reference's own test vectors; this entry is the
-      // rows-only driver face (no relational oracle for a pure string
-      // rewrite).
+      // against the reference's own test vectors; the oracle replicates
+      // the whole kernel in SQL (the probe charset keeps the RFC-3986
+      // encoding a finite replace chain), so this face is hash-checked.
       import s.implicits._
       import graft.core.Bangs
       val regions = t(s, d, "region").select(col("r_name")).as[String]
@@ -1824,6 +1871,47 @@ object SparkEntry {
       |SELECT v AS node,
       |       CAST(sum(CASE WHEN d > 0 THEN 12 // d ELSE 0 END) AS BIGINT) AS h
       |FROM sp GROUP BY 1 ORDER BY node""".stripMargin
+
+  /** q_betweenness oracle: shortest-path COUNTS through each node, from
+    * walk counts unrolled to the face's depth cap (6). A walk of
+    * minimal length is necessarily a simple shortest path (removing any
+    * cycle would shorten it), so sigma(s,t) = walk count at min depth;
+    * spc(v) = sum sigma_sv*sigma_vt over pairs with d_sv+d_vt=d_st —
+    * Brandes' pair-dependency numerators, all exact integers. The
+    * within_bound flag (Brandes back-prop == pair-dependency identity)
+    * is asserted TRUE. */
+  private def betweennessOracleSql: String = {
+    val levels = (2 to 6).map { k =>
+      s"""p$k AS (SELECT p.s, e.dst AS t, CAST(sum(p.c) AS BIGINT) AS c
+         |  FROM p${k - 1} p JOIN e ON e.src = p.t GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val walkUnion = (1 to 6).map(k =>
+      s"SELECT s, t, $k AS d, c FROM p$k").mkString("\n  UNION ALL ")
+    s"""WITH n AS (SELECT doc_id AS v FROM documents WHERE doc_id < 60),
+       |e0 AS (
+       |  SELECT v AS src, (v * 7 + 3) % 60 AS dst FROM n
+       |  UNION SELECT v, (v * 13 + 11) % 60 FROM n
+       |  UNION SELECT v, (v * 29 + 17) % 60 FROM n),
+       |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       |p1 AS (SELECT src AS s, dst AS t, CAST(1 AS BIGINT) AS c FROM e),
+       |$levels,
+       |walks AS (
+       |  $walkUnion),
+       |dm AS (SELECT s, t, min(d) AS dmin FROM walks GROUP BY 1, 2),
+       |sp0 AS (SELECT w.s, w.t, w.d, w.c FROM walks w
+       |        JOIN dm ON dm.s = w.s AND dm.t = w.t AND w.d = dm.dmin),
+       |sp AS (SELECT * FROM sp0 UNION ALL SELECT v, v, 0, 1 FROM n),
+       |thru AS (SELECT a.t AS v, a.c * b.c AS part
+       |         FROM sp a
+       |         JOIN sp b ON b.s = a.t
+       |         JOIN sp st ON st.s = a.s AND st.t = b.t
+       |                   AND st.d = a.d + b.d
+       |         WHERE a.s <> a.t AND b.s <> b.t AND a.s <> b.t),
+       |spc AS (SELECT v, CAST(sum(part) AS BIGINT) AS spc FROM thru GROUP BY 1)
+       |SELECT n.v AS node, coalesce(spc.spc, 0) AS spc, TRUE AS within_bound
+       |FROM n LEFT JOIN spc ON spc.v = n.v
+       |ORDER BY node""".stripMargin
+  }
 
   /** q_langid_multi oracle — generated from TextOps.StopwordsByLang so
     * the evidence lists can never drift from the Spark face. Integer
@@ -3047,6 +3135,13 @@ object SparkEntry {
       s"""SELECT node, h, TRUE AS within_bound FROM (
          |${centralityOracleSql.replace("ORDER BY node", "")}
          |) ORDER BY node""".stripMargin,
+    // exact side + asserted flag, like q_centrality_hll: a sampling or
+    // BFS regression flips within_bound in Spark only → loud hash fail
+    "q_centrality_approx" ->
+      s"""SELECT node, h, TRUE AS within_bound FROM (
+         |${centralityOracleSql.replace("ORDER BY node", "")}
+         |) ORDER BY node""".stripMargin,
+    "q_betweenness" -> betweennessOracleSql,
     "q_ltr" -> ltrOracleSql,
     "q_langid_multi" -> langidMultiOracleSql,
     "q_token_count" ->
@@ -3082,7 +3177,36 @@ object SparkEntry {
     "q_spell_train" -> spellTrainOracleSql,
     "q_nb_classify" -> nbClassifyOracleSql,
     "q_nb_eval" -> nbEvalOracleSql,
-    // q_bangs: rows-only (pure string kernel, BangsSpec-gated)
+    // q_bangs: the probe charset is [a-z, space, +, !], so the RFC-3986
+    // percent-encoding collapses to a finite replace() chain ('+'→%2B
+    // first — later replacements introduce only [%,digits,B], never a
+    // char an earlier one rewrites) and the bang table + first-winning-
+    // tag + rest-join kernel is pure SQL over the region table
+    "q_bangs" ->
+      """WITH bang AS (SELECT lower(r_name) AS tag FROM region),
+        |probes(query) AS (VALUES ('!asia spark join'), ('!europe fast scan'),
+        |  ('!nowhere x'), ('plain query'), ('!africa a+b'), ('x !america !zz y')),
+        |terms0 AS (SELECT query,
+        |    unnest(regexp_split_to_array(query, '\s+')) AS term,
+        |    generate_subscripts(regexp_split_to_array(query, '\s+'), 1) AS pos
+        |  FROM probes),
+        |terms AS (SELECT * FROM terms0 WHERE term <> ''),
+        |win AS (SELECT t.query, arg_min(b.tag, t.pos) AS tag
+        |        FROM terms t JOIN bang b
+        |          ON len(t.term) > 1 AND t.term[1] = '!' AND t.term[2:] = b.tag
+        |        GROUP BY t.query),
+        |rest AS (SELECT t.query, string_agg(t.term, ' ' ORDER BY t.pos) AS rest
+        |         FROM terms t JOIN win w ON w.query = t.query
+        |         WHERE NOT (len(t.term) > 1 AND t.term[1] = '!' AND t.term[2:] = w.tag)
+        |         GROUP BY t.query)
+        |SELECT p.query,
+        |  CASE WHEN w.tag IS NULL THEN ''
+        |       ELSE 'https://example.org/' || w.tag || '?q=' ||
+        |            replace(replace(replace(coalesce(r.rest, ''), '+', '%2B'),
+        |                            ' ', '%20'), '!', '%21')
+        |  END AS redirect
+        |FROM probes p LEFT JOIN win w USING (query) LEFT JOIN rest r USING (query)
+        |ORDER BY query""".stripMargin,
     "q_bloom" ->
       """WITH nn AS (SELECT count(*) // 2 AS h FROM documents),
         |mm AS (SELECT CAST(ceil(h * ln(0.01) / (-8.0 * ln(2) * ln(2)))

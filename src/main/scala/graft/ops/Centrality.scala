@@ -164,6 +164,257 @@ object Centrality {
     else raw
   }
 
+  // ------------------------------------------------- approx (sampled)
+
+  /** The reference's sampling error target (approx_harmonic.rs:29:
+    * `const EPSILON: f64 = 0.3`). */
+  final val ApproxEpsilon = 0.3
+
+  /** Deterministic seeded-hash node sample — the analog of the
+    * reference's `random_page_nodes_with_outgoing` (a uniform random
+    * sample; seeded md5 order makes ours reproducible so tests and
+    * oracles can replay it). Returns `k` rows (source). The limit is
+    * k = O(log n / eps^2) — a few hundred even at web scale, so the
+    * TakeOrdered heap is driver-safe. */
+  private[graft] def sampleSources(edges: DataFrame, k: Int,
+                                   seed: String): DataFrame =
+    edges.select(col("src").as("source")).distinct()
+      .orderBy(md5(concat(lit(seed), col("source").cast("string"))),
+        col("source"))
+      .limit(k)
+
+  /** Approximate harmonic centrality (reference
+    * crates/core/src/webgraph/centrality/approx_harmonic.rs:29-60, the
+    * reference's own page-level-scale answer): estimate n with an HLL
+    * sketch, sample s = ceil(log2(n)/eps^2) source nodes that have
+    * outgoing edges, run a depth-capped BFS from each, and score every
+    * reached target v as Σ_sources (1/d(s,v)) · n/(s·(n−1)) — an
+    * unbiased estimate of the normalized harmonic centrality
+    * Σ_u 1/d(u,v) / (n−1). Nodes no sample reaches get no row (the
+    * reference's map holds only touched entries).
+    *
+    * Spark-first shape: n comes from `approx_count_distinct` (Spark's
+    * HLL++; rsd 0.023 matches the reference's 2048-register sketch),
+    * the s sources advance in ONE shared frontier
+    * ([[graft.ops.Webgraph.multiSourceDistances]]) so the job count is
+    * O(maxDist), not O(s), and the per-node sum folds in ascending
+    * source order (collect_list → array_sort → aggregate), so the
+    * result is bit-stable under any partitioning — the reference
+    * accumulates f32 in thread order and is NOT run-reproducible; the
+    * deterministic fold is the engine-wide ord-order summation rule.
+    * The only driver-held values are n, s and the sampled source list
+    * (all O(log n)). */
+  def approxHarmonic(spark: SparkSession, edges: DataFrame,
+                     maxDist: Int = 7, epsilon: Double = ApproxEpsilon,
+                     seed: String = "ah"): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nEst = math.max(2L,
+      e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
+        .agg(approx_count_distinct(col("n"), 0.023)).head().getLong(0))
+    val numSamples = math.max(1,
+      math.ceil(math.log(nEst.toDouble) / math.log(2.0) /
+        (epsilon * epsilon)).toInt)
+    val sampled = sampleSources(e, numSamples, seed).localCheckpoint()
+    // norm uses the REALIZED sample size: the reference assumes the
+    // graph has at least num_samples source nodes; a small graph would
+    // otherwise deflate every score by the shortfall factor
+    val sActual = math.max(1L, sampled.count())
+    val norm = nEst.toDouble / (sActual.toDouble * (nEst.toDouble - 1.0))
+    Webgraph.multiSourceDistances(e, sampled, maxDist)
+      .where(col("dist") > 0) // dist 0 rows are the sources themselves
+      .groupBy(col("node"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("source"), col("dist")))),
+        lit(0.0),
+        (acc, x) => acc + (lit(1.0) / x.getField("dist")) * lit(norm))
+        .as("score"))
+  }
+
+  // ------------------------------------------------- betweenness
+
+  /** Betweenness centrality via Brandes' algorithm ("A Faster
+    * Algorithm for Betweenness Centrality", 2001) — reference
+    * crates/core/src/webgraph/centrality/betweenness.rs:156-218, which
+    * runs the textbook per-source BFS + dependency back-propagation
+    * over (up to) the first 100k host nodes and normalizes by
+    * n·(n−1) with n = the number of sources processed.
+    *
+    * Spark-first shape: all sources run in ONE pair of level-
+    * synchronous passes instead of a per-source loop —
+    *
+    *  - forward: (source, node, dist, sigma) rows grow one BFS shell
+    *    per round; sigma(w) = Σ sigma(v) over frontier predecessors
+    *    v→w, a single integer-sum aggregate (exact, order-free);
+    *  - backward: for level L−1 down to 0, delta(s,v) =
+    *    Σ_{v→w, dist(w)=dist(v)+1} sigma_v/sigma_w · (1 + delta(s,w)),
+    *    folded in ascending w order (collect_list → array_sort →
+    *    aggregate) so every float sum has ONE order — the reference's
+    *    per-source sequential loop is deterministic trivially; the
+    *    distributed twin must pin the order to be so.
+    *
+    * bc(v) = Σ_s delta(s,v) (v≠s), folded in ascending source order,
+    * normalized by n(n−1). Output: (node, bc) for every node reached
+    * from (or contained in) the source set, zeros included — the
+    * reference creates an entry for every source and every stacked
+    * node. `maxDepth` caps the BFS like the reference's distance cap
+    * elsewhere (its betweenness BFS is uncapped; a cap bounds the round
+    * count at scale and the face's oracle unrolls to the same cap).
+    * State is O(Σ ball sizes) rows, shuffles keyed by (source, node) —
+    * sampled `sources` keep that linear in the sample size at 100 TB;
+    * passing every node is the small-graph exact mode. */
+  def betweenness(spark: SparkSession, edges: DataFrame,
+                  sources: DataFrame, maxDepth: Int = 8): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 255, "dist is a u8-class cap")
+    val e = edges.select(col("src").as("from"), col("dst").as("to"))
+      .where(col("from") =!= col("to")).distinct().localCheckpoint()
+    val srcCol = sources.columns.head
+    val src = sources.select(col(srcCol).as("s")).distinct().localCheckpoint()
+    val nSources = src.count()
+    // ---- forward: shells of (s, v, d, sigma)
+    var all = src.select(col("s"), col("s").as("v"), lit(0).as("d"),
+      lit(1L).as("sigma")).localCheckpoint()
+    var frontier = all
+    var d = 1
+    var dMax = 0
+    var exhausted = false
+    while (d <= maxDepth && !exhausted) {
+      val cand = frontier.join(e, frontier("v") === e("from"))
+        .groupBy(col("s"), col("to").as("w"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val next = cand
+        .join(all.select(col("s"), col("v").as("w")), Seq("s", "w"),
+          "left_anti")
+        .select(col("s"), col("w").as("v"), lit(d).as("d"), col("sigma"))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        all = all.union(next).localCheckpoint()
+        frontier = next
+        dMax = d
+      }
+      d += 1
+    }
+    // ---- backward: dependency accumulation level by level
+    // delta rows for the current level+1 (leaves start at 0 implicitly)
+    var deltaNext = all.where(col("d") === dMax)
+      .select(col("s"), col("v"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    val sess = spark
+    var acc = sess.emptyDataFrame
+    var accInit = false
+    var lvl = dMax - 1
+    while (lvl >= 0) {
+      val cur = all.where(col("d") === lvl)
+      val succ = all.where(col("d") === lvl + 1)
+        .select(col("s"), col("v").as("w"), col("sigma").as("sigma_w"))
+        .join(deltaNext.select(col("s"), col("v").as("w"),
+          col("delta").as("delta_w")), Seq("s", "w"), "left_outer")
+        .select(col("s"), col("w"), col("sigma_w"),
+          coalesce(col("delta_w"), lit(0.0)).as("delta_w"))
+      val contribs = cur.join(e, cur("v") === e("from"))
+        .join(succ, cur("s") === succ("s") && e("to") === succ("w"))
+        .select(cur("s"), cur("v"),
+          struct(succ("w"),
+            ((cur("sigma").cast("double") / col("sigma_w").cast("double")) *
+              (lit(1.0) + col("delta_w"))).as("c")).as("wc"))
+        .groupBy(col("s"), col("v"))
+        .agg(aggregate(array_sort(collect_list(col("wc"))), lit(0.0),
+          (a, x) => a + x.getField("c")).as("delta"))
+      deltaNext = cur.select(col("s"), col("v"))
+        .join(contribs, Seq("s", "v"), "left_outer")
+        .select(col("s"), col("v"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      val gain = deltaNext.where(col("v") =!= col("s") && col("delta") =!= 0.0)
+      acc = if (!accInit) { accInit = true; gain.localCheckpoint() }
+            else acc.union(gain).localCheckpoint()
+      lvl -= 1
+    }
+    val norm = nSources.toDouble * (nSources.toDouble - 1.0)
+    val summed =
+      if (!accInit) sess.emptyDataFrame
+      else acc.groupBy(col("v"))
+        .agg((aggregate(
+          array_sort(collect_list(struct(col("s"), col("delta")))),
+          lit(0.0), (a, x) => a + x.getField("delta")) / lit(norm))
+          .as("bc"))
+    val everyNode = all.select(col("v")).distinct()
+    if (!accInit)
+      everyNode.select(col("v").as("node"), lit(0.0).as("bc"))
+    else
+      everyNode.join(summed, Seq("v"), "left_outer")
+        .select(col("v").as("node"),
+          coalesce(col("bc"), lit(0.0)).as("bc"))
+  }
+
+  /** Shortest-path pair table for the pair-dependency identity —
+    * the FACE-checkable twin of [[betweenness]]. From the forward-BFS
+    * table (all-pairs when `sources` = every node):
+    * bc(v) = Σ_{s≠v≠t} σ_sv·σ_vt/σ_st over pairs with
+    * d(s,v)+d(v,t)=d(s,t) (Brandes eq. 2 / the classic definition).
+    * σ products are exact integers, so the per-node PATH COUNT
+    * spc(v) = Σ σ_sv·σ_vt is an integer a SQL oracle reproduces
+    * hash-exactly; the float quotient sum folds in (s,t) order. Output:
+    * (node, spc, bc_formula) for every node in the BFS table. */
+  def betweennessPairDependency(spark: SparkSession, edges: DataFrame,
+                                sources: DataFrame,
+                                maxDepth: Int = 8): DataFrame = {
+    val e = edges.select(col("src").as("from"), col("dst").as("to"))
+      .where(col("from") =!= col("to")).distinct()
+    val srcCol = sources.columns.head
+    val src = sources.select(col(srcCol).as("s")).distinct()
+    val nSources = src.count()
+    // forward pass only (same shells as betweenness's)
+    var all = src.select(col("s"), col("s").as("v"), lit(0).as("d"),
+      lit(1L).as("sigma")).localCheckpoint()
+    var frontier = all
+    var d = 1
+    var exhausted = false
+    val ec = e.localCheckpoint()
+    while (d <= maxDepth && !exhausted) {
+      val cand = frontier.join(ec, frontier("v") === ec("from"))
+        .groupBy(col("s"), col("to").as("w"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val next = cand
+        .join(all.select(col("s"), col("v").as("w")), Seq("s", "w"),
+          "left_anti")
+        .select(col("s"), col("w").as("v"), lit(d).as("d"), col("sigma"))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else { all = all.union(next).localCheckpoint(); frontier = next }
+      d += 1
+    }
+    val sp = all.localCheckpoint()
+    val a = sp.select(col("s"), col("v"), col("d").as("dsv"),
+      col("sigma").as("ssv")).where(col("s") =!= col("v"))
+    val b = sp.select(col("s").as("v"), col("v").as("t"),
+      col("d").as("dvt"), col("sigma").as("svt"))
+      .where(col("v") =!= col("t"))
+    val st = sp.select(col("s"), col("v").as("t"), col("d").as("dst"),
+      col("sigma").as("sst"))
+    val through = a.join(b, Seq("v"))
+      .where(col("s") =!= col("t"))
+      .join(st, Seq("s", "t"))
+      .where(col("dsv") + col("dvt") === col("dst"))
+    val norm = nSources.toDouble * (nSources.toDouble - 1.0)
+    val scored = through
+      .select(col("v"),
+        (col("ssv") * col("svt")).as("spc_part"),
+        struct(col("s"), col("t"),
+          ((col("ssv") * col("svt")).cast("double") /
+            col("sst").cast("double")).as("q")).as("stq"))
+      .groupBy(col("v"))
+      .agg(sum(col("spc_part")).as("spc"),
+        (aggregate(array_sort(collect_list(col("stq"))), lit(0.0),
+          (acc2, x) => acc2 + x.getField("q")) / lit(norm)).as("bc_formula"))
+    sp.select(col("v")).distinct()
+      .join(scored, Seq("v"), "left_outer")
+      .select(col("v").as("node"),
+        coalesce(col("spc"), lit(0L)).as("spc"),
+        coalesce(col("bc_formula"), lit(0.0)).as("bc_formula"))
+  }
+
   /** HyperBall harmonic-centrality estimates: (node, est_harmonic,
     * est_ball) after `maxDepth` rounds. Per round, every node ships
     * its current in-ball sketch along its OUT-edges (u ∈ B(x, t-1) and

@@ -70,25 +70,51 @@ object Webgraph {
     * localCheckpoint-truncated — the iterative-Catalyst trap. */
   def distances(edges: DataFrame, source: String, maxDist: Int,
                 reversed: Boolean = false): DataFrame = {
+    val e = if (reversed) edges.select(col("dst").as("src"), col("src").as("dst"))
+            else edges.select(col("src"), col("dst"))
+    val src = edges.sparkSession.range(1).select(lit(source).as("source"))
+    multiSourceDistances(e, src, maxDist)
+      .select(col("node").as("repo"), col("dist"))
+  }
+
+  /** Multi-source capped BFS — the shared core under [[distances]] and
+    * ops.Centrality's sampled-source jobs (approx harmonic,
+    * betweenness). `sources` is a one-column frame of start nodes (any
+    * node type; the reference's `raw_distances_with_max` is the
+    * single-source form, shortest_path.rs). Returns
+    * (source, node, dist) with dist = min hop count, each source at 0.
+    *
+    * Scale shape: all sources advance in ONE frontier — each round is a
+    * single frontier⋈edges join (shuffle keyed by the frontier node)
+    * plus an anti-join against the visited (source, node) pairs, so s
+    * sources cost one job sequence, not s of them. State is
+    * O(Σ ball sizes) rows — the same product the reference materializes
+    * per source, sharded instead of driver-held. Per-round lineage is
+    * localCheckpoint-truncated (the iterative-Catalyst trap). */
+  def multiSourceDistances(edges: DataFrame, sources: DataFrame,
+                           maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 255, "dist is a u8 in the reference")
-    val e = (if (reversed) edges.select(col("dst").as("from"), col("src").as("to"))
-             else edges.select(col("src").as("from"), col("dst").as("to")))
+    val e = edges.select(col("src").as("from"), col("dst").as("to"))
       .where(col("from") =!= col("to")).distinct().localCheckpoint()
-    var visited = e.sparkSession.range(1)
-      .select(lit(source).as("repo"), lit(0L).as("dist"))
-      .localCheckpoint()
-    var frontier = visited.select("repo")
+    val srcCol = sources.columns.head
+    var visited = sources
+      .select(col(srcCol).as("source"), col(srcCol).as("node"),
+        lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = visited.select("source", "node")
     var d = 1
     var exhausted = false
     while (d <= maxDist && !exhausted) {
-      val next = frontier.join(e, e("from") === frontier("repo"))
-        .select(col("to").as("repo")).distinct()
-        .join(visited, Seq("repo"), "left_anti")
+      val next = frontier.join(e, frontier("node") === e("from"))
+        .select(col("source"), col("to").as("node")).distinct()
+        .join(visited.select("source", "node"), Seq("source", "node"),
+          "left_anti")
         .localCheckpoint()
       if (next.isEmpty) exhausted = true
       else {
         visited = visited
-          .union(next.select(col("repo"), lit(d.toLong).as("dist")))
+          .union(next.select(col("source"), col("node"),
+            lit(d.toLong).as("dist")))
           .localCheckpoint()
         frontier = next
       }

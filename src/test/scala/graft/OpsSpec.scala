@@ -356,6 +356,98 @@ class OpsSpec extends AnyFunSuite {
     assert(capped == Map("a" -> 0L, "b" -> 1L))
   }
 
+  test("multiSourceDistances == per-source distances; approxHarmonic contract") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("x", "y")).toDF("src", "dst")
+    val multi = Webgraph.multiSourceDistances(edges,
+        Seq("a", "x").toDF("source"), maxDist = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val singles = Seq("a", "x").flatMap { s0 =>
+      Webgraph.distances(edges, s0, maxDist = 6)
+        .collect().map(r => (s0, r.getString(0)) -> r.getLong(1))
+    }.toMap
+    assert(multi == singles)
+
+    // approx harmonic on the 200-node deterministic graph: with epsilon
+    // small enough to sample EVERY source, the estimate collapses to
+    // the exact normalized score up to the HLL n-estimate (tight at
+    // n=200), and the whole pipeline is partition-order deterministic
+    val n = 200
+    val big = (0L until n.toLong).flatMap(i =>
+      Seq((i, (i * 7 + 3) % n), (i, (i * 13 + 11) % n), (i, (i * 29 + 17) % n)))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val exact = Centrality.harmonicExact(spark, big, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = Centrality.approxHarmonic(spark, big, maxDist = 4,
+        epsilon = 0.01) // ceil(log2(200)/1e-4) >> 200 -> every source
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exact.filter(_._2 > 0).foreach { case (node, h) =>
+      val want = h.toDouble / (12.0 * (n - 1.0))
+      val got = all.getOrElse(node, 0.0)
+      assert(math.abs(got - want) <= want * 0.05 + 1e-9,
+        s"node $node: approx $got vs exact-normalized $want")
+    }
+    // true sampling (reference epsilon): seeded-hash sample is a fixed
+    // subset, so the result is identical under any input partitioning
+    val s1 = Centrality.approxHarmonic(spark, big, maxDist = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s2 = Centrality.approxHarmonic(spark, big.repartition(7), maxDist = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1 == s2)
+    // sample-size formula: ceil(log2(n)/eps^2) sources, all with
+    // outgoing edges
+    val srcs = Centrality.sampleSources(big, 11, "ah")
+      .collect().map(_.getLong(0)).toSet
+    assert(srcs.size == 11)
+    val withOut = big.select("src").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(srcs.subsetOf(withOut))
+  }
+
+  test("betweenness: reference path-graph vector; Brandes == pair-dependency") {
+    import spark.implicits._
+    // the reference's own test (betweenness.rs path()): 0->1->2->3->4
+    // gives {0, 0.15, 0.2, 0.15, 0} under the n(n-1) norm with all 5
+    // nodes as sources
+    val path = (0L until 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val srcs5 = (0L until 5L).toDF("s")
+    val bc = Centrality.betweenness(spark, path, srcs5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc == Map(0L -> 0.0, 1L -> 0.15, 2L -> 0.2, 3L -> 0.15, 4L -> 0.0))
+    // denser deterministic graph: back-propagated Brandes must satisfy
+    // the pair-dependency identity node-for-node, and stay identical
+    // under any input partitioning (the ordered-fold determinism claim)
+    val n = 40
+    val big = (0L until n.toLong).flatMap(i =>
+      Seq((i, (i * 7 + 3) % n), (i, (i * 13 + 11) % n), (i, (i * 29 + 17) % n)))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val srcsAll = (0L until n.toLong).toDF("s")
+    val b1 = Centrality.betweenness(spark, big, srcsAll, maxDepth = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pd = Centrality.betweennessPairDependency(spark, big, srcsAll,
+        maxDepth = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(b1.keySet == pd.keySet)
+    b1.foreach { case (node, v) =>
+      val f = pd(node)._2
+      assert(math.abs(v - f) <= 1e-9 + math.abs(f) * 1e-9,
+        s"node $node: brandes $v vs formula $f")
+    }
+    assert(pd.values.exists(_._1 > 0L)) // some through-paths exist
+    val b2 = Centrality.betweenness(spark, big.repartition(7), srcsAll,
+        maxDepth = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b1 == b2)
+    // sampled-source mode: a subset of sources runs the same machinery
+    // (the 100 TB shape) and normalizes by the SAMPLE's n(n-1)
+    val some = Seq(0L, 7L, 13L).toDF("s")
+    val bs = Centrality.betweenness(spark, big, some, maxDepth = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bs.values.forall(_ >= 0.0) && bs.values.exists(_ > 0.0))
+  }
+
   /** Scala replica of similarRepos (reference potential_nodes +
     * inbound_similarity semantics), folding sims in liked order so the
     * doubles are bit-comparable with the DataFrame path. */
