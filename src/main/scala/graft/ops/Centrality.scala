@@ -265,13 +265,29 @@ object Centrality {
     * passing every node is the small-graph exact mode. */
   def betweenness(spark: SparkSession, edges: DataFrame,
                   sources: DataFrame, maxDepth: Int = 8): DataFrame = {
-    require(maxDepth >= 1 && maxDepth <= 255, "dist is a u8-class cap")
-    val e = edges.select(col("src").as("from"), col("dst").as("to"))
-      .where(col("from") =!= col("to")).distinct().localCheckpoint()
-    val srcCol = sources.columns.head
-    val src = sources.select(col(srcCol).as("s")).distinct().localCheckpoint()
+    val e = prepBetweennessEdges(edges)
+    val src = prepBetweennessSources(sources)
     val nSources = src.count()
-    // ---- forward: shells of (s, v, d, sigma)
+    val (all, dMax) = sigmaForward(e, src, maxDepth)
+    brandesBackward(spark, e, all, dMax, nSources)
+  }
+
+  private def prepBetweennessEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("from"), col("dst").as("to"))
+      .where(col("from") =!= col("to")).distinct().localCheckpoint()
+
+  private def prepBetweennessSources(sources: DataFrame): DataFrame = {
+    val srcCol = sources.columns.head
+    sources.select(col(srcCol).as("s")).distinct().localCheckpoint()
+  }
+
+  /** Forward pass: shells of (s, v, d, sigma) rows, sigma = number of
+    * shortest s→v paths, grown one BFS level per round with a single
+    * integer-sum aggregate; returns the table and the deepest level
+    * actually reached. */
+  private[graft] def sigmaForward(e: DataFrame, src: DataFrame,
+                                  maxDepth: Int): (DataFrame, Int) = {
+    require(maxDepth >= 1 && maxDepth <= 255, "dist is a u8-class cap")
     var all = src.select(col("s"), col("s").as("v"), lit(0).as("d"),
       lit(1L).as("sigma")).localCheckpoint()
     var frontier = all
@@ -295,7 +311,14 @@ object Centrality {
       }
       d += 1
     }
-    // ---- backward: dependency accumulation level by level
+    (all, dMax)
+  }
+
+  /** Backward pass: dependency accumulation level by level, then the
+    * source-order fold and n(n−1) normalization (see [[betweenness]]). */
+  private def brandesBackward(spark: SparkSession, e: DataFrame,
+                              all: DataFrame, dMax: Int,
+                              nSources: Long): DataFrame = {
     // delta rows for the current level+1 (leaves start at 0 implicitly)
     var deltaNext = all.where(col("d") === dMax)
       .select(col("s"), col("v"), lit(0.0).as("delta"))
@@ -360,32 +383,31 @@ object Centrality {
   def betweennessPairDependency(spark: SparkSession, edges: DataFrame,
                                 sources: DataFrame,
                                 maxDepth: Int = 8): DataFrame = {
-    val e = edges.select(col("src").as("from"), col("dst").as("to"))
-      .where(col("from") =!= col("to")).distinct()
-    val srcCol = sources.columns.head
-    val src = sources.select(col(srcCol).as("s")).distinct()
+    val e = prepBetweennessEdges(edges)
+    val src = prepBetweennessSources(sources)
     val nSources = src.count()
-    // forward pass only (same shells as betweenness's)
-    var all = src.select(col("s"), col("s").as("v"), lit(0).as("d"),
-      lit(1L).as("sigma")).localCheckpoint()
-    var frontier = all
-    var d = 1
-    var exhausted = false
-    val ec = e.localCheckpoint()
-    while (d <= maxDepth && !exhausted) {
-      val cand = frontier.join(ec, frontier("v") === ec("from"))
-        .groupBy(col("s"), col("to").as("w"))
-        .agg(sum(col("sigma")).as("sigma"))
-      val next = cand
-        .join(all.select(col("s"), col("v").as("w")), Seq("s", "w"),
-          "left_anti")
-        .select(col("s"), col("w").as("v"), lit(d).as("d"), col("sigma"))
-        .localCheckpoint()
-      if (next.isEmpty) exhausted = true
-      else { all = all.union(next).localCheckpoint(); frontier = next }
-      d += 1
-    }
-    val sp = all.localCheckpoint()
+    val (all, _) = sigmaForward(e, src, maxDepth)
+    pairDependencyFrom(all, nSources)
+  }
+
+  /** Both sides from ONE forward pass: (node, spc, bc, bc_formula) —
+    * the Brandes back-propagated score next to the pair-dependency
+    * identity value and integer path count. The driver face uses this
+    * so the shared sigma table is computed once, not twice. */
+  def betweennessChecked(spark: SparkSession, edges: DataFrame,
+                         sources: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val e = prepBetweennessEdges(edges)
+    val src = prepBetweennessSources(sources)
+    val nSources = src.count()
+    val (all, dMax) = sigmaForward(e, src, maxDepth)
+    val bc = brandesBackward(spark, e, all, dMax, nSources)
+    val pd = pairDependencyFrom(all, nSources)
+    bc.join(pd, Seq("node"))
+  }
+
+  private def pairDependencyFrom(all: DataFrame,
+                                 nSources: Long): DataFrame = {
+    val sp = all
     val a = sp.select(col("s"), col("v"), col("d").as("dsv"),
       col("sigma").as("ssv")).where(col("s") =!= col("v"))
     val b = sp.select(col("s").as("v"), col("v").as("t"),

@@ -402,8 +402,11 @@ object LtrTrain {
       .limit(cfg.binSampleCount)
       .select(col("features")).as[Array[Double]].collect()
     require(sampled.nonEmpty, "empty training set")
-    sampled.foreach(fv => require(fv.length == numF,
-      s"feature vector length ${fv.length} != ${numF}"))
+    sampled.foreach { fv =>
+      require(fv.length == numF,
+        s"feature vector length ${fv.length} != ${numF}")
+      require(!fv.exists(_.isNaN), "NaN feature in training set")
+    }
     val edges: Array[Array[Double]] = Array.tabulate(numF) { f =>
       edgesFromSample(sampled.map(_(f)).sorted, cfg.numBins)
     }
@@ -412,6 +415,12 @@ object LtrTrain {
     var cur: Dataset[BRow] = rows.map { r =>
       require(r.features.length == numF,
         s"feature vector length ${r.features.length} != ${numF}")
+      // reject NaN LOUDLY: binOf's comparisons are all false on NaN, so
+      // a NaN feature would silently land in bin 0 and a NaN label
+      // would poison every lambda in its group — fail the job instead
+      require(!r.label.isNaN, s"NaN label (qid=${r.qid}, docId=${r.docId})")
+      require(!r.features.exists(_.isNaN),
+        s"NaN feature (qid=${r.qid}, docId=${r.docId})")
       val e = bEdges.value
       BRow(r.qid, r.docId, r.label,
         Array.tabulate(numF)(f => binOf(r.features(f), e(f))), 0.0, 0.0, 0.0)

@@ -70,9 +70,12 @@ object TextOps {
   final val BpeChunkPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
   /** Chunk count of the BPE-ish pre-tokenizer over the lowercased
-    * text — the token-budget column beside the whitespace count. */
+    * text — the token-budget column beside the whitespace count.
+    * regexp_count (not size(regexp_extract_all)): counting matches
+    * directly skips materializing the whole chunk array per row —
+    * the count is all any consumer of this column ever wanted. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit(BpeChunkPattern), lit(0)))
+    regexp_count(lower(text), lit(BpeChunkPattern))
 
   /** Per-language stopword tables for the language-ID heuristic
     * (function-word hit ratio — the classic n-gram/stopword profile

@@ -190,6 +190,53 @@ class LtrTrainSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no gradient signal"))
   }
 
+  test("adversarial inputs: NaN rejected loudly; single-doc groups are inert") {
+    import spark.implicits._
+    val good = syntheticRows(10, 8, seed = 33)
+    // NaN feature anywhere fails the job with a pointed message (binOf
+    // would otherwise silently bucket NaN into bin 0)
+    val nanF = good.updated(5, good(5).copy(
+      features = Array(0.1, Double.NaN, 0.2, 0.3)))
+    val e1 = intercept[Exception] {
+      LtrTrain.train(spark.createDataset(nanF), names,
+        Config(numTrees = 2, maxDepth = 2))
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("NaN"))
+    // NaN label likewise (it would poison every lambda in its group)
+    val nanL = good.updated(7, good(7).copy(label = Double.NaN))
+    val e2 = intercept[Exception] {
+      LtrTrain.train(spark.createDataset(nanL), names,
+        Config(numTrees = 2, maxDepth = 2))
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("NaN"))
+    // single-doc groups produce no pairs (grad 0, groupLambdas n<2
+    // path) and must not crash a mixed training set: the model still
+    // trains on the multi-doc groups' signal
+    val singles = (0 until 15).map(i => LtrTrainRow(1000L + i, 9000L + i,
+      i.toDouble % 3, Array(0.5, 0.5, 0.5, 0.5)))
+    val cfg = Config(numTrees = 3, maxDepth = 2)
+    val mixed = LtrTrain.train(spark.createDataset(good ++ singles), names, cfg)
+    assert(mixed.treesBuilt >= 1)
+    // ONLY single-doc groups -> zero gradient everywhere -> the
+    // convergence guard refuses to emit a contentless model
+    val ex = intercept[IllegalArgumentException] {
+      LtrTrain.train(spark.createDataset(singles), names, cfg)
+    }
+    assert(ex.getMessage.contains("no gradient signal"))
+  }
+
+  test("partition determinism: identical model from 2 vs 8 input partitions") {
+    import spark.implicits._
+    // the histogram combine is partition-ordered and every per-group
+    // emission is canonically sorted, so the input layout must not leak
+    // into the model at all — bit-identical text, not just close
+    val rows = syntheticRows(20, 9, seed = 55)
+    val cfg = Config(numTrees = 4, maxDepth = 3, numBins = 16)
+    val m2 = LtrTrain.train(spark.createDataset(rows).repartition(2), names, cfg)
+    val m8 = LtrTrain.train(spark.createDataset(rows).repartition(8), names, cfg)
+    assert(m2.modelText == m8.modelText)
+  }
+
   test("guards: empty input and ragged feature vectors throw") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
