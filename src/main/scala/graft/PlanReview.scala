@@ -92,6 +92,17 @@ object PlanReview {
     // 14. grouped backlinks: one src-keyed join + column band math
     show("q_backlink_groups", SparkEntry.queries("q_backlink_groups")(spark, "/root/testdata/sf0.001"))
 
+    // 15. approx harmonic sampled BFS + ordered-fold scoring: one
+    //     frontier join per round, no cartesian, the per-node fold a
+    //     single ObjectHashAggregate
+    show("q_centrality_approx",
+      SparkEntry.queries("q_centrality_approx")(spark, "/root/testdata/sf0.001"))
+
+    // 16. betweenness checked face: forward sigma shells + back-prop
+    //     joins keyed by (source, node) — no cartesian anywhere
+    show("q_betweenness",
+      SparkEntry.queries("q_betweenness")(spark, "/root/testdata/sf0.001"))
+
     // 11. pipeline simhash fetch: candidate (repo, path) keys broadcast
     //     against the doc table — a BroadcastHashJoin projecting only
     //     repo/path/simhash, NOT a repo-wide collect (one monorepo
