@@ -778,6 +778,26 @@ object SparkEntry {
         }
         .toDF("doc_id", "summary").orderBy("doc_id")
     }),
+    "q_sum_windows" -> ((s, d) => {
+      // The deterministic, oracle-checkable half of the summarizer
+      // (NEXT #4): OverlappingSents window OFFSETS (windowSize=8,
+      // overlap=1) over the ASCII space-delimited doc text. The
+      // iterator advances windowSize-overlap = 7 words per step, so
+      // window n spans char range [ws(7n)+1, ws(7n+8)) in
+      // whitespace-rank terms (end-of-text fallbacks at both ends) —
+      // a closed form the oracle replicates in SQL; the closed form
+      // itself is property-pinned against the iterator in
+      // SummarizerSpec for arbitrary space placements.
+      import s.implicits._
+      import graft.core.Summarizer
+      t(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          Summarizer.overlappingSents(text, 8, 1).zipWithIndex.map {
+            case ((_, r), i) => (id, i, r.start, r.end)
+          }
+        }.toDF("doc_id", "win_idx", "win_start", "win_end")
+    }),
     "q_bloom" -> ((s, d) => {
       // U64 Bloom filter (crates/bloom): DISTRIBUTED aggregator build
       // over the first half of the doc ids (reduce sets one bit, merge
@@ -902,6 +922,31 @@ object SparkEntry {
       names.zipWithIndex.map { case (n, i) =>
         (n, splits.getOrElse(i, 0), m.treesBuilt, math.rint(ndcg * 100) / 100)
       }.toSeq.toDF("feature", "splits", "trees", "ndcg5")
+    }),
+    "q_ltr_bins" -> ((s, d) => {
+      // The deterministic, oracle-checkable half of LambdaMART training
+      // (NEXT #4): LightGBM-style subsample-index bin cuts
+      // (LtrTrain.sampleEdges -> edgesFromSample). binSampleCount
+      // (200k) exceeds the corpus at every test SF, so the
+      // xxhash64-ordered TakeOrdered sample is the WHOLE set and the
+      // cut picks reduce to DISTINCT sorted-array indexing — pure SQL.
+      // Features are exact-arithmetic columns (no transcendentals) so
+      // the double edges hash bit-for-bit.
+      import s.implicits._
+      import graft.ops.LtrTrain
+      val rows = t(s, d, "documents").select(
+        pmod(col("doc_id"), lit(48)).as("qid"),
+        col("doc_id").as("docId"),
+        lit(0.0).as("label"),
+        array(
+          length(col("text")).cast("double"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+            (length(col("text")).cast("double") + lit(1.0)),
+          pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(1000L))
+            .cast("double") / lit(1000.0)
+        ).as("features")).as[LtrTrain.LtrTrainRow]
+      LtrTrain.binEdgesDf(rows, Array("f_len", "f_digit", "f_lcg"),
+        LtrTrain.Config(numBins = 16))
     }),
     "q_engine_signals" -> ((s, d) => {
       // linear ranking model over the signal framework (explainable)
@@ -2937,6 +2982,81 @@ object SparkEntry {
         |FROM events
         |WHERE event_id < 1000 AND event_id % 200 <> 0
         |  AND event_id % 200 <> 100""".stripMargin,
+    // LightGBM-style bin cuts (LtrTrain.edgesFromSample) as pure SQL:
+    // the sample is the whole corpus at test SFs, so the subsample
+    // picks are sorted-array indexing — candidate b of numBins-1 picks
+    // sorted[min(b*n//16, n-1)], strictly-increasing dedup == DISTINCT,
+    // drop picks == max, min-value fallback for a non-constant feature
+    // whose picks all collapsed.
+    "q_ltr_bins" ->
+      """WITH f AS (
+        |  SELECT 'f_len' AS feature, CAST(length(text) AS DOUBLE) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'f_digit',
+        |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |           / CAST(length(text) + 1 AS DOUBLE)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'f_lcg',
+        |         CAST((doc_id * 1103515245 + 12345) % 1000 AS DOUBLE) / 1000.0
+        |  FROM documents),
+        |stats AS (SELECT feature, count(*) AS n, min(v) AS mn, max(v) AS mx
+        |          FROM f GROUP BY 1),
+        |ranked AS (SELECT feature, v,
+        |                  row_number() OVER (PARTITION BY feature ORDER BY v) AS rn
+        |           FROM f),
+        |picks AS (
+        |  SELECT s.feature, least((b.b * s.n) // 16, s.n - 1) + 1 AS rn
+        |  FROM stats s, range(1, 16) b(b)),
+        |cuts AS (
+        |  SELECT DISTINCT r.feature, r.v
+        |  FROM picks p
+        |  JOIN ranked r ON r.feature = p.feature AND r.rn = p.rn
+        |  JOIN stats s ON s.feature = r.feature
+        |  WHERE r.v < s.mx AND s.mn <> s.mx),
+        |withfb AS (
+        |  SELECT * FROM cuts
+        |  UNION ALL
+        |  SELECT s.feature, s.mn FROM stats s
+        |  WHERE s.mn <> s.mx
+        |    AND NOT EXISTS (SELECT 1 FROM cuts c WHERE c.feature = s.feature))
+        |SELECT feature,
+        |       CAST(row_number() OVER (PARTITION BY feature ORDER BY v) AS INT) - 1
+        |         AS cut_idx,
+        |       v AS edge
+        |FROM withfb ORDER BY feature, cut_idx""".stripMargin,
+    // OverlappingSents(8,1) window offsets in closed form: ws = char
+    // positions of spaces ranked per doc; window n starts at
+    // ws(7n)+1 (0 for n=0), ends at ws(7n+8) or text end; a window
+    // n>=1 exists iff ws rank 7n exists and its start is inside the
+    // text. The closed form is property-pinned against the iterator
+    // in SummarizerSpec.
+    "q_sum_windows" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE doc_id < 200),
+        |u AS (SELECT doc_id, text,
+        |             unnest(range(1, length(text) + 1)) AS i
+        |      FROM d),
+        |ws AS (SELECT doc_id, i - 1 AS pos,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |       FROM u WHERE substring(text, CAST(i AS INT), 1) = ' '),
+        |nws AS (SELECT doc_id, count(*) AS c FROM ws GROUP BY 1),
+        |wins AS (
+        |  SELECT d.doc_id,
+        |         unnest(range(0, coalesce(nws.c, 0) // 7 + 1)) AS win_idx
+        |  FROM d LEFT JOIN nws USING (doc_id)
+        |  WHERE d.len > 0)
+        |SELECT w.doc_id, CAST(w.win_idx AS INT) AS win_idx,
+        |       CAST(CASE WHEN w.win_idx = 0 THEN 0 ELSE s7.pos + 1 END AS INT)
+        |         AS win_start,
+        |       CAST(coalesce(e8.pos, d.len) AS INT) AS win_end
+        |FROM wins w
+        |JOIN d ON d.doc_id = w.doc_id
+        |LEFT JOIN ws s7 ON s7.doc_id = w.doc_id AND s7.rn = 7 * w.win_idx
+        |LEFT JOIN ws e8 ON e8.doc_id = w.doc_id AND e8.rn = 7 * w.win_idx + 8
+        |WHERE w.win_idx = 0 OR (s7.pos IS NOT NULL AND s7.pos + 1 < d.len)
+        |ORDER BY 1, 2""".stripMargin,
     "q_bigrams" ->
       """WITH pos AS (
         |  SELECT doc_id,

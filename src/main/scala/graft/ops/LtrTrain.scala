@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import scala.collection.mutable.ArrayBuffer
 import graft.core.Ltr
 
@@ -383,18 +383,16 @@ object LtrTrain {
   /** Train a LambdaMART ensemble. Deterministic for a fixed input and
     * partitioning (hash-ordered bin sample, partition-ordered histogram
     * sums, first-best split tie-break). */
-  def train(rows: Dataset[LtrTrainRow], featureNames: Array[String],
-            cfg: Config = Config()): Trained = {
+  /** Bin edges from a deterministic pseudo-random sample (LightGBM's
+    * `bin_construct_sample_cnt` approach): TakeOrdered by xxhash64 of
+    * the row key — constant driver memory at any input size. When the
+    * input has at most `binSampleCount` rows the sample IS the whole
+    * set, which makes the subsample-index cuts pure SQL — the
+    * oracle-checkable half of training (q_ltr_bins). */
+  private[graft] def sampleEdges(rows: Dataset[LtrTrainRow], numF: Int,
+                                 cfg: Config): Array[Array[Double]] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val numF = featureNames.length
-    require(numF > 0, "no features")
-    require(cfg.maxDepth >= 1 && cfg.numBins >= 2 && cfg.numTrees >= 1,
-      "maxDepth/numBins/numTrees out of range")
-
-    // --- bins from a deterministic pseudo-random sample (LightGBM's
-    // bin_construct_sample_cnt approach): TakeOrdered by xxhash64 of
-    // the row key — constant driver memory at any input size.
     import org.apache.spark.sql.functions.{col, xxhash64}
     val sampled = rows
       .withColumn("h", xxhash64(col("qid"), col("docId")))
@@ -407,9 +405,37 @@ object LtrTrain {
         s"feature vector length ${fv.length} != ${numF}")
       require(!fv.exists(_.isNaN), "NaN feature in training set")
     }
-    val edges: Array[Array[Double]] = Array.tabulate(numF) { f =>
+    Array.tabulate(numF) { f =>
       edgesFromSample(sampled.map(_(f)).sorted, cfg.numBins)
     }
+  }
+
+  /** The bin edges `train` would use, as (feature, cut_idx, edge) rows
+    * — a driver face for the deterministic part of training. A feature
+    * whose sampled values are all equal contributes no rows (binOf puts
+    * everything in bin 0). */
+  def binEdgesDf(rows: Dataset[LtrTrainRow], featureNames: Array[String],
+                 cfg: Config = Config()): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val edges = sampleEdges(rows, featureNames.length, cfg)
+    val out = for {
+      f <- featureNames.indices.toSeq
+      (e, i) <- edges(f).zipWithIndex
+    } yield (featureNames(f), i, e)
+    out.toDF("feature", "cut_idx", "edge")
+  }
+
+  def train(rows: Dataset[LtrTrainRow], featureNames: Array[String],
+            cfg: Config = Config()): Trained = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val numF = featureNames.length
+    require(numF > 0, "no features")
+    require(cfg.maxDepth >= 1 && cfg.numBins >= 2 && cfg.numTrees >= 1,
+      "maxDepth/numBins/numTrees out of range")
+
+    val edges: Array[Array[Double]] = sampleEdges(rows, numF, cfg)
     val bEdges = spark.sparkContext.broadcast(edges)
 
     var cur: Dataset[BRow] = rows.map { r =>

@@ -249,4 +249,23 @@ class LtrTrainSpec extends AnyFunSuite {
       LtrTrain.train(spark.createDataset(ragged), names, Config())
     }
   }
+
+  test("binEdgesDf emits exactly edgesFromSample's cuts per feature") {
+    import spark.implicits._
+    val rows = syntheticRows(queries = 6, perQuery = 20, seed = 99L)
+    val cfg = Config(numBins = 16) // binSampleCount >> 120 -> full set
+    val got = LtrTrain.binEdgesDf(spark.createDataset(rows), names, cfg)
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    names.zipWithIndex.foreach { case (n, f) =>
+      val want = LtrTrain.edgesFromSample(
+        rows.map(_.features(f)).toArray.sorted, cfg.numBins).toSeq
+      assert(got.getOrElse(n, Seq.empty) == want, s"feature $n")
+    }
+    // cut indices are dense from 0 and edges strictly increase
+    got.values.foreach { es =>
+      assert(es == es.sorted && es.distinct == es)
+    }
+  }
 }

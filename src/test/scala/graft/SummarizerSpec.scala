@@ -65,4 +65,41 @@ class SummarizerSpec extends AnyFunSuite {
     assert(fb.split(" ").length == 1000)
     assert(fb.startsWith("w0 w1") && fb.endsWith("w999"))
   }
+
+  /** Closed form of overlappingSents(text, 8, 1) offsets, as the
+    * q_sum_windows DuckDB oracle computes them: ws(k) = 0-based char
+    * position of the k-th space (1-based rank); window n starts at
+    * ws(7n)+1 (0 for n=0) and ends at ws(7n+8), or text end if that
+    * rank does not exist; window n>=1 exists iff ws(7n) exists and
+    * the start lies strictly inside the text. */
+  private def closedFormWindows(text: String): Seq[(Int, Int, Int)] = {
+    if (text.isEmpty) return Seq.empty
+    val ws = text.indices.filter(i => text.charAt(i) == ' ')
+    def pos(rank: Int): Option[Int] =
+      if (rank >= 1 && rank <= ws.length) Some(ws(rank - 1)) else None
+    (0 to ws.length / 7).flatMap { n =>
+      val start = if (n == 0) Some(0)
+        else pos(7 * n).map(_ + 1).filter(_ < text.length)
+      start.map { s => (n, s, pos(7 * n + 8).getOrElse(text.length)) }
+    }
+  }
+
+  test("closed-form window offsets equal the iterator for arbitrary space placements (q_sum_windows oracle)") {
+    val rnd = new scala.util.Random(424242)
+    def randomText(): String = {
+      val n = rnd.nextInt(80)
+      (0 until n).map { _ =>
+        if (rnd.nextInt(3) == 0) ' ' else ('a' + rnd.nextInt(4)).toChar
+      }.mkString
+    }
+    val cases = Seq("", " ", "a", "a b c d e f g h i j",
+      "  leading and  double  spaces trail ", "a b c d e f g",
+      "a b c d e f g ", "one two three four five six seven eight") ++
+      (0 until 300).map(_ => randomText())
+    cases.foreach { text =>
+      val it = Summarizer.overlappingSents(text, 8, 1).zipWithIndex
+        .map { case ((_, r), i) => (i, r.start, r.end) }.toSeq
+      assert(closedFormWindows(text) == it, s"text='${text}'")
+    }
+  }
 }
