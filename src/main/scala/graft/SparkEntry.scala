@@ -351,17 +351,21 @@ object SparkEntry {
       // with all nodes as sources. Two oracle-checkable columns: the
       // through-shortest-path COUNT spc(v) = sum sigma_sv*sigma_vt over
       // pairs with d_sv+d_vt=d_st (exact integer — the SQL oracle
-      // reproduces it from 6 unrolled walk-count levels), and a flag
+      // reproduces it from 4 unrolled walk-count levels), and a flag
       // asserting the back-propagated Brandes score equals the
       // pair-dependency identity it must satisfy (float tolerance; the
-      // oracle asserts the flag). Both sides cap BFS at depth 6.
+      // oracle asserts the flag). Both sides cap BFS at depth 4 —
+      // deep enough to exercise multi-level sigma/delta propagation
+      // (deeper BFS is pinned by q_shortest_path and the path-graph
+      // spec vector) while keeping the iterative face's round count,
+      // and so its fixed per-round scheduling cost, suite-proportionate.
       val nodes = t(s, d, "documents").where(col("doc_id") < 60)
         .select(col("doc_id").as("src"))
       val edges = Seq((7L, 3L), (13L, 11L), (29L, 17L)).map { case (a, b) =>
         nodes.select(col("src"), ((col("src") * a + b) % 60).as("dst"))
       }.reduce(_ union _).where(col("src") =!= col("dst")).cache()
       val sources = nodes.select(col("src").as("s"))
-      CentralityOps.betweennessChecked(s, edges, sources, maxDepth = 6)
+      CentralityOps.betweennessChecked(s, edges, sources, maxDepth = 4)
         .select(col("node"), col("spc"),
           (abs(col("bc") - col("bc_formula")) <=
             lit(1e-9) + abs(col("bc_formula")) * lit(1e-9))
@@ -1926,7 +1930,7 @@ object SparkEntry {
       |FROM sp GROUP BY 1 ORDER BY node""".stripMargin
 
   /** q_betweenness oracle: shortest-path COUNTS through each node, from
-    * walk counts unrolled to the face's depth cap (6). A walk of
+    * walk counts unrolled to the face's depth cap (4). A walk of
     * minimal length is necessarily a simple shortest path (removing any
     * cycle would shorten it), so sigma(s,t) = walk count at min depth;
     * spc(v) = sum sigma_sv*sigma_vt over pairs with d_sv+d_vt=d_st —
@@ -1934,11 +1938,11 @@ object SparkEntry {
     * within_bound flag (Brandes back-prop == pair-dependency identity)
     * is asserted TRUE. */
   private def betweennessOracleSql: String = {
-    val levels = (2 to 6).map { k =>
+    val levels = (2 to 4).map { k =>
       s"""p$k AS (SELECT p.s, e.dst AS t, CAST(sum(p.c) AS BIGINT) AS c
          |  FROM p${k - 1} p JOIN e ON e.src = p.t GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    val walkUnion = (1 to 6).map(k =>
+    val walkUnion = (1 to 4).map(k =>
       s"SELECT s, t, $k AS d, c FROM p$k").mkString("\n  UNION ALL ")
     s"""WITH n AS (SELECT doc_id AS v FROM documents WHERE doc_id < 60),
        |e0 AS (

@@ -272,11 +272,24 @@ object Centrality {
     brandesBackward(spark, e, all, dMax, nSources)
   }
 
-  private def prepBetweennessEdges(edges: DataFrame): DataFrame =
-    edges.select(col("src").as("from"), col("dst").as("to"))
+  /** Distinct (from, to) edges, checkpointed; BROADCAST-hinted under
+    * the same size guard as [[harmonicExact]]. The checkpointed
+    * LogicalRDD carries no Catalyst stats, so without the hint every
+    * BFS round and every backward level pays a full shuffle join
+    * against a relation Spark cannot see is small; the count is a
+    * cached-block scan, and an over-threshold graph degrades to the
+    * shuffle join rather than OOMing executors on a re-broadcast per
+    * round. Sums on both sides of the hint are integer or
+    * sorted-fold, so the join strategy cannot change any result. */
+  private[graft] def prepBetweennessEdges(
+      edges: DataFrame,
+      broadcastMaxEdges: Long = ExactBroadcastMaxEdges): DataFrame = {
+    val e0 = edges.select(col("src").as("from"), col("dst").as("to"))
       .where(col("from") =!= col("to")).distinct().localCheckpoint()
+    if (e0.count() <= broadcastMaxEdges) broadcast(e0) else e0
+  }
 
-  private def prepBetweennessSources(sources: DataFrame): DataFrame = {
+  private[graft] def prepBetweennessSources(sources: DataFrame): DataFrame = {
     val srcCol = sources.columns.head
     sources.select(col(srcCol).as("s")).distinct().localCheckpoint()
   }
@@ -305,7 +318,11 @@ object Centrality {
         .localCheckpoint()
       if (next.isEmpty) exhausted = true
       else {
-        all = all.union(next).localCheckpoint()
+        // next is checkpointed, so the running union is a flat plan of
+        // materialized shells — re-checkpointing it would cost a job
+        // per round for nothing (it is only ever scanned, its lineage
+        // is already truncated at every leaf)
+        all = all.union(next)
         frontier = next
         dMax = d
       }
@@ -314,9 +331,14 @@ object Centrality {
     (all, dMax)
   }
 
+  /** Per-level delta tables at or under this many rows broadcast into
+    * the backward-pass outer join (~24 B/row → ~100 MB at this cap);
+    * larger levels keep the shuffle join. */
+  final val BackwardBroadcastMaxRows: Long = 4L * 1000 * 1000
+
   /** Backward pass: dependency accumulation level by level, then the
     * source-order fold and n(n−1) normalization (see [[betweenness]]). */
-  private def brandesBackward(spark: SparkSession, e: DataFrame,
+  private[graft] def brandesBackward(spark: SparkSession, e: DataFrame,
                               all: DataFrame, dMax: Int,
                               nSources: Long): DataFrame = {
     // delta rows for the current level+1 (leaves start at 0 implicitly)
@@ -324,15 +346,24 @@ object Centrality {
       .select(col("s"), col("v"), lit(0.0).as("delta"))
       .localCheckpoint()
     val sess = spark
-    var acc = sess.emptyDataFrame
-    var accInit = false
+    // per-level gains stay as references to their (checkpointed)
+    // deltaNext parents and union flat at the end — checkpointing the
+    // running accumulator per level bought nothing but a job per round
+    var gains = List.empty[DataFrame]
     var lvl = dMax - 1
     while (lvl >= 0) {
       val cur = all.where(col("d") === lvl)
+      // deltaNext is checkpointed, so the size probe is a cached-block
+      // scan; a small delta table broadcasts into the outer join
+      // (stats-free LogicalRDDs otherwise force a two-sided shuffle),
+      // an over-threshold one keeps the scale-safe shuffle join
+      val dn0 = deltaNext.select(col("s"), col("v").as("w"),
+        col("delta").as("delta_w"))
+      val dn = if (deltaNext.count() <= BackwardBroadcastMaxRows)
+        broadcast(dn0) else dn0
       val succ = all.where(col("d") === lvl + 1)
         .select(col("s"), col("v").as("w"), col("sigma").as("sigma_w"))
-        .join(deltaNext.select(col("s"), col("v").as("w"),
-          col("delta").as("delta_w")), Seq("s", "w"), "left_outer")
+        .join(dn, Seq("s", "w"), "left_outer")
         .select(col("s"), col("w"), col("sigma_w"),
           coalesce(col("delta_w"), lit(0.0)).as("delta_w"))
       val contribs = cur.join(e, cur("v") === e("from"))
@@ -349,21 +380,19 @@ object Centrality {
         .select(col("s"), col("v"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint()
-      val gain = deltaNext.where(col("v") =!= col("s") && col("delta") =!= 0.0)
-      acc = if (!accInit) { accInit = true; gain.localCheckpoint() }
-            else acc.union(gain).localCheckpoint()
+      gains ::= deltaNext.where(col("v") =!= col("s") && col("delta") =!= 0.0)
       lvl -= 1
     }
     val norm = nSources.toDouble * (nSources.toDouble - 1.0)
     val summed =
-      if (!accInit) sess.emptyDataFrame
-      else acc.groupBy(col("v"))
+      if (gains.isEmpty) sess.emptyDataFrame
+      else gains.reduce(_ union _).groupBy(col("v"))
         .agg((aggregate(
           array_sort(collect_list(struct(col("s"), col("delta")))),
           lit(0.0), (a, x) => a + x.getField("delta")) / lit(norm))
           .as("bc"))
     val everyNode = all.select(col("v")).distinct()
-    if (!accInit)
+    if (gains.isEmpty)
       everyNode.select(col("v").as("node"), lit(0.0).as("bc"))
     else
       everyNode.join(summed, Seq("v"), "left_outer")
@@ -405,7 +434,7 @@ object Centrality {
     bc.join(pd, Seq("node"))
   }
 
-  private def pairDependencyFrom(all: DataFrame,
+  private[graft] def pairDependencyFrom(all: DataFrame,
                                  nSources: Long): DataFrame = {
     val sp = all
     val a = sp.select(col("s"), col("v"), col("d").as("dsv"),

@@ -112,10 +112,12 @@ object Webgraph {
         .localCheckpoint()
       if (next.isEmpty) exhausted = true
       else {
+        // next is checkpointed, so the running union of shells stays a
+        // flat plan over materialized leaves — re-checkpointing it per
+        // round costs a job and buys no lineage truncation
         visited = visited
           .union(next.select(col("source"), col("node"),
             lit(d.toLong).as("dist")))
-          .localCheckpoint()
         frontier = next
       }
       d += 1
