@@ -47,8 +47,6 @@ object GenScale {
     val in = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    require(factor >= 1, "factor >= 1")
-    new java.io.File(out).mkdirs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,6 +54,16 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, in, out, factor)
+    println(s"GENSCALE wrote $out at factor $factor")
+    spark.stop()
+  }
+
+  /** The generator body (spec-drivable: does not own the session). */
+  def generate(spark: SparkSession, in: String, out: String,
+               factor: Int): Unit = {
+    require(factor >= 1, "factor >= 1")
+    new java.io.File(out).mkdirs()
 
     def t(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
 
@@ -108,8 +116,5 @@ object GenScale {
     writeTable(copies(t("embeddings"),
       Map("vec_id" -> span(t("embeddings"), "vec_id")))(),
       out, "embeddings")
-
-    println(s"GENSCALE wrote $out at factor $factor")
-    spark.stop()
   }
 }

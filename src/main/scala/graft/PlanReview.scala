@@ -103,6 +103,17 @@ object PlanReview {
     show("q_betweenness",
       SparkEntry.queries("q_betweenness")(spark, "/root/testdata/sf0.001"))
 
+    // 17. LambdaMART bin cuts: ONE distributed TakeOrdered sample (the
+    //     only collect, capped at binSampleCount) ahead of a tiny
+    //     driver-side edge derivation
+    show("q_ltr_bins",
+      SparkEntry.queries("q_ltr_bins")(spark, "/root/testdata/sf0.001"))
+
+    // 18. summarizer window offsets: a single typed flatMap over the
+    //     parquet scan, no shuffle at all before the dump
+    show("q_sum_windows",
+      SparkEntry.queries("q_sum_windows")(spark, "/root/testdata/sf0.001"))
+
     // 11. pipeline simhash fetch: candidate (repo, path) keys broadcast
     //     against the doc table — a BroadcastHashJoin projecting only
     //     repo/path/simhash, NOT a repo-wide collect (one monorepo
