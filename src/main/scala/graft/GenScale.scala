@@ -25,12 +25,18 @@ object GenScale {
   private def moveSingleFile(dir: String, dest: String): Unit = {
     import java.nio.file._
     val d = Paths.get(dir)
-    val part = Files.list(d).filter(p =>
-      p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-    Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+    val listed = Files.list(d)
+    val part =
+      try listed.filter(p =>
+        p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst()
+      finally listed.close()
+    require(part.isPresent, s"no part-*.parquet produced under $dir")
+    Files.move(part.get(), Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+    val walked = Files.walk(d)
+    try walked.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
+    finally walked.close()
   }
 
   private def writeTable(df: DataFrame, outDir: String, name: String): Unit = {
@@ -40,8 +46,11 @@ object GenScale {
   }
 
   /** max(key)+1 of a long/int key column, as Long. */
-  private def span(df: DataFrame, key: String): Long =
-    df.agg(max(col(key).cast("long"))).head().getLong(0) + 1L
+  private def span(df: DataFrame, key: String): Long = {
+    val row = df.agg(max(col(key).cast("long"))).head()
+    require(!row.isNullAt(0), s"cannot scale an empty table (key $key)")
+    row.getLong(0) + 1L
+  }
 
   def main(args: Array[String]): Unit = {
     val in = args(0)

@@ -62,12 +62,18 @@ object SparkEntry {
   // q_centrality_hll and q_centrality_approx all compare against the
   // same maxDepth-4 integer scores over the same derived graph —
   // compute the 4-round BFS once and pin it with localCheckpoint
+  // keyed by dir AND validated against the owning context: a
+  // localCheckpoint'd DataFrame is session-bound (its RDD blocks die
+  // with the SparkContext), so a cached entry from a stopped or
+  // different session must be recomputed, not served
   private val centExactCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def centralityExact(s: SparkSession, d: String): DataFrame =
-    centExactCache.computeIfAbsent(d, { _ =>
-      CentralityOps.harmonicExact(s, centralityEdges(s, d), maxDepth = 4)
+    centExactCache.compute(d, { (_, prev) =>
+      if (prev != null && prev.sparkSession.eq(s) &&
+          !prev.sparkSession.sparkContext.isStopped) prev
+      else CentralityOps.harmonicExact(s, centralityEdges(s, d), maxDepth = 4)
         .localCheckpoint()
     })
 
@@ -363,7 +369,7 @@ object SparkEntry {
         .select(col("doc_id").as("src"))
       val edges = Seq((7L, 3L), (13L, 11L), (29L, 17L)).map { case (a, b) =>
         nodes.select(col("src"), ((col("src") * a + b) % 60).as("dst"))
-      }.reduce(_ union _).where(col("src") =!= col("dst")).cache()
+      }.reduce(_ union _).where(col("src") =!= col("dst"))
       val sources = nodes.select(col("src").as("s"))
       CentralityOps.betweennessChecked(s, edges, sources, maxDepth = 4)
         .select(col("node"), col("spc"),
@@ -797,6 +803,11 @@ object SparkEntry {
       t(s, d, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
+          // the SQL closed form treats exactly ' ' as the separator;
+          // the iterator uses Character.isWhitespace — fail loudly on
+          // any other whitespace instead of hash-diverging silently
+          require(!text.exists(c => c != ' ' && Character.isWhitespace(c)),
+            s"q_sum_windows oracle assumes space-only text (doc $id)")
           Summarizer.overlappingSents(text, 8, 1).zipWithIndex.map {
             case ((_, r), i) => (id, i, r.start, r.end)
           }
@@ -949,8 +960,15 @@ object SparkEntry {
           pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(1000L))
             .cast("double") / lit(1000.0)
         ).as("features")).as[LtrTrain.LtrTrainRow]
-      LtrTrain.binEdgesDf(rows, Array("f_len", "f_digit", "f_lcg"),
-        LtrTrain.Config(numBins = 16))
+      val cfg = LtrTrain.Config(numBins = 16)
+      // the oracle ranks the WHOLE corpus, which matches sampleEdges
+      // only while the sample is the whole set — fail loudly if a
+      // future scale outgrows the sample cap instead of hash-diverging
+      val n = rows.count()
+      require(n <= cfg.binSampleCount,
+        s"q_ltr_bins oracle requires corpus ($n) <= binSampleCount " +
+          s"(${cfg.binSampleCount}); raise the cap or subset the input")
+      LtrTrain.binEdgesDf(rows, Array("f_len", "f_digit", "f_lcg"), cfg)
     }),
     "q_engine_signals" -> ((s, d) => {
       // linear ranking model over the signal framework (explainable)

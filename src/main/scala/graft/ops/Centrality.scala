@@ -221,7 +221,10 @@ object Centrality {
     // otherwise deflate every score by the shortfall factor
     val sActual = math.max(1L, sampled.count())
     val norm = nEst.toDouble / (sActual.toDouble * (nEst.toDouble - 1.0))
-    Webgraph.multiSourceDistances(e, sampled, maxDist)
+    // e is already distinct, deloop'd and checkpointed above — use the
+    // prepped entry so the BFS does not repeat that shuffle
+    Webgraph.multiSourceDistancesPrepped(
+      e.select(col("src").as("from"), col("dst").as("to")), sampled, maxDist)
       .where(col("dist") > 0) // dist 0 rows are the sources themselves
       .groupBy(col("node"))
       .agg(aggregate(

@@ -380,9 +380,6 @@ object LtrTrain {
 
   // ------------------------------------------------------------- train
 
-  /** Train a LambdaMART ensemble. Deterministic for a fixed input and
-    * partitioning (hash-ordered bin sample, partition-ordered histogram
-    * sums, first-best split tie-break). */
   /** Bin edges from a deterministic pseudo-random sample (LightGBM's
     * `bin_construct_sample_cnt` approach): TakeOrdered by xxhash64 of
     * the row key — constant driver memory at any input size. When the
@@ -426,6 +423,9 @@ object LtrTrain {
     out.toDF("feature", "cut_idx", "edge")
   }
 
+  /** Train a LambdaMART ensemble. Deterministic for a fixed input and
+    * partitioning (hash-ordered bin sample, partition-ordered histogram
+    * sums, first-best split tie-break). */
   def train(rows: Dataset[LtrTrainRow], featureNames: Array[String],
             cfg: Config = Config()): Trained = {
     val spark = rows.sparkSession

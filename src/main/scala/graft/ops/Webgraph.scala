@@ -92,10 +92,20 @@ object Webgraph {
     * per source, sharded instead of driver-held. Per-round lineage is
     * localCheckpoint-truncated (the iterative-Catalyst trap). */
   def multiSourceDistances(edges: DataFrame, sources: DataFrame,
-                           maxDist: Int): DataFrame = {
+                           maxDist: Int): DataFrame =
+    multiSourceDistancesPrepped(
+      edges.select(col("src").as("from"), col("dst").as("to"))
+        .where(col("from") =!= col("to")).distinct().localCheckpoint(),
+      sources, maxDist)
+
+  /** [[multiSourceDistances]] over edges a caller has ALREADY
+    * deduplicated/deloop'd and checkpointed as (from, to) — callers
+    * that hold such a frame (approxHarmonic) skip a redundant distinct
+    * shuffle + materialization per invocation. */
+  private[graft] def multiSourceDistancesPrepped(e: DataFrame,
+                                                 sources: DataFrame,
+                                                 maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 255, "dist is a u8 in the reference")
-    val e = edges.select(col("src").as("from"), col("dst").as("to"))
-      .where(col("from") =!= col("to")).distinct().localCheckpoint()
     val srcCol = sources.columns.head
     var visited = sources
       .select(col(srcCol).as("source"), col(srcCol).as("node"),
