@@ -271,8 +271,8 @@ object Centrality {
     val e = prepBetweennessEdges(edges)
     val src = prepBetweennessSources(sources)
     val nSources = src.count()
-    val (all, dMax) = sigmaForward(e, src, maxDepth)
-    brandesBackward(spark, e, all, dMax, nSources)
+    val sh = sigmaForwardShells(e, src, maxDepth)
+    brandesBackward(spark, e, sh, nSources)
   }
 
   /** Distinct (from, to) edges, checkpointed; BROADCAST-hinted under
@@ -297,41 +297,73 @@ object Centrality {
     sources.select(col(srcCol).as("s")).distinct().localCheckpoint()
   }
 
+  /** Forward-pass result: checkpointed BFS shells (one per level,
+    * level = index) with their row counts. Counts come for free from
+    * the per-round emptiness probe and drive every downstream
+    * broadcast decision without extra count() jobs. */
+  private[graft] final case class SigmaShells(shells: IndexedSeq[DataFrame],
+                                              counts: IndexedSeq[Long]) {
+    def dMax: Int = shells.length - 1
+    def all: DataFrame = shells.reduce(_ union _)
+    def totalRows: Long = counts.sum
+  }
+
   /** Forward pass: shells of (s, v, d, sigma) rows, sigma = number of
     * shortest s→v paths, grown one BFS level per round with a single
     * integer-sum aggregate; returns the table and the deepest level
     * actually reached. */
   private[graft] def sigmaForward(e: DataFrame, src: DataFrame,
                                   maxDepth: Int): (DataFrame, Int) = {
+    val sh = sigmaForwardShells(e, src, maxDepth)
+    (sh.all, sh.dMax)
+  }
+
+  /** As [[sigmaForward]], but keeps the per-level shells and counts.
+    * The visited anti-join's right side broadcasts while the running
+    * pair table stays under [[BackwardBroadcastMaxRows]] (the per-round
+    * emptiness probe doubles as the row count, so the guard costs no
+    * extra job); an over-threshold ball degrades to the scale-safe
+    * shuffle join. Sigma is an exact integer sum, so join strategy
+    * cannot change any value. */
+  private[graft] def sigmaForwardShells(e: DataFrame, src: DataFrame,
+                                        maxDepth: Int): SigmaShells = {
     require(maxDepth >= 1 && maxDepth <= 255, "dist is a u8-class cap")
-    var all = src.select(col("s"), col("s").as("v"), lit(0).as("d"),
+    val level0 = src.select(col("s"), col("s").as("v"), lit(0).as("d"),
       lit(1L).as("sigma")).localCheckpoint()
-    var frontier = all
+    val shells = scala.collection.mutable.ArrayBuffer(level0)
+    val counts = scala.collection.mutable.ArrayBuffer(level0.count())
+    var all = level0
+    var allRows = counts(0)
+    var frontier = level0
     var d = 1
-    var dMax = 0
     var exhausted = false
     while (d <= maxDepth && !exhausted) {
+      val visitedKeys0 = all.select(col("s"), col("v").as("w"))
+      val visitedKeys = if (allRows <= BackwardBroadcastMaxRows)
+        broadcast(visitedKeys0) else visitedKeys0
       val cand = frontier.join(e, frontier("v") === e("from"))
         .groupBy(col("s"), col("to").as("w"))
         .agg(sum(col("sigma")).as("sigma"))
       val next = cand
-        .join(all.select(col("s"), col("v").as("w")), Seq("s", "w"),
-          "left_anti")
+        .join(visitedKeys, Seq("s", "w"), "left_anti")
         .select(col("s"), col("w").as("v"), lit(d).as("d"), col("sigma"))
         .localCheckpoint()
-      if (next.isEmpty) exhausted = true
+      val n = next.count()
+      if (n == 0L) exhausted = true
       else {
         // next is checkpointed, so the running union is a flat plan of
         // materialized shells — re-checkpointing it would cost a job
         // per round for nothing (it is only ever scanned, its lineage
         // is already truncated at every leaf)
         all = all.union(next)
+        allRows += n
+        shells += next
+        counts += n
         frontier = next
-        dMax = d
       }
       d += 1
     }
-    (all, dMax)
+    SigmaShells(shells.toIndexedSeq, counts.toIndexedSeq)
   }
 
   /** Per-level delta tables at or under this many rows broadcast into
@@ -340,14 +372,23 @@ object Centrality {
   final val BackwardBroadcastMaxRows: Long = 4L * 1000 * 1000
 
   /** Backward pass: dependency accumulation level by level, then the
-    * source-order fold and n(n−1) normalization (see [[betweenness]]). */
+    * source-order fold and n(n−1) normalization (see [[betweenness]]).
+    * Per-level sizes are the forward pass's shell counts, so every
+    * broadcast decision (delta table into the outer join, successor
+    * table into the contribution join, per-level contribs back onto
+    * the shell) is guarded without any count() probe jobs; floats fold
+    * in pinned order, so join strategy cannot change any value. */
   private[graft] def brandesBackward(spark: SparkSession, e: DataFrame,
-                              all: DataFrame, dMax: Int,
-                              nSources: Long): DataFrame = {
-    // delta rows for the current level+1 (leaves start at 0 implicitly)
-    var deltaNext = all.where(col("d") === dMax)
+                              sh: SigmaShells, nSources: Long): DataFrame = {
+    val dMax = sh.dMax
+    def hinted(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= BackwardBroadcastMaxRows) broadcast(df) else df
+    // delta rows for the current level+1 (leaves start at 0 implicitly).
+    // A projection of an already-checkpointed shell — no checkpoint of
+    // its own needed.
+    var deltaNext = sh.shells(dMax)
       .select(col("s"), col("v"), lit(0.0).as("delta"))
-      .localCheckpoint()
+    var deltaRows = sh.counts(dMax)
     val sess = spark
     // per-level gains stay as references to their (checkpointed)
     // deltaNext parents and union flat at the end — checkpointing the
@@ -355,22 +396,17 @@ object Centrality {
     var gains = List.empty[DataFrame]
     var lvl = dMax - 1
     while (lvl >= 0) {
-      val cur = all.where(col("d") === lvl)
-      // deltaNext is checkpointed, so the size probe is a cached-block
-      // scan; a small delta table broadcasts into the outer join
-      // (stats-free LogicalRDDs otherwise force a two-sided shuffle),
-      // an over-threshold one keeps the scale-safe shuffle join
-      val dn0 = deltaNext.select(col("s"), col("v").as("w"),
-        col("delta").as("delta_w"))
-      val dn = if (deltaNext.count() <= BackwardBroadcastMaxRows)
-        broadcast(dn0) else dn0
-      val succ = all.where(col("d") === lvl + 1)
+      val cur = sh.shells(lvl)
+      val dn = hinted(deltaNext.select(col("s"), col("v").as("w"),
+        col("delta").as("delta_w")), deltaRows)
+      val succ = sh.shells(lvl + 1)
         .select(col("s"), col("v").as("w"), col("sigma").as("sigma_w"))
         .join(dn, Seq("s", "w"), "left_outer")
         .select(col("s"), col("w"), col("sigma_w"),
           coalesce(col("delta_w"), lit(0.0)).as("delta_w"))
       val contribs = cur.join(e, cur("v") === e("from"))
-        .join(succ, cur("s") === succ("s") && e("to") === succ("w"))
+        .join(hinted(succ, sh.counts(lvl + 1)),
+          cur("s") === succ("s") && e("to") === succ("w"))
         .select(cur("s"), cur("v"),
           struct(succ("w"),
             ((cur("sigma").cast("double") / col("sigma_w").cast("double")) *
@@ -379,10 +415,17 @@ object Centrality {
         .agg(aggregate(array_sort(collect_list(col("wc"))), lit(0.0),
           (a, x) => a + x.getField("c")).as("delta"))
       deltaNext = cur.select(col("s"), col("v"))
-        .join(contribs, Seq("s", "v"), "left_outer")
+        .join(hinted(contribs, sh.counts(lvl)), Seq("s", "v"), "left_outer")
         .select(col("s"), col("v"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
-        .localCheckpoint()
+      // every leaf of deltaNext's plan is a checkpointed shell, so the
+      // per-level chain stays shallow at the depths the faces run —
+      // the per-level eager checkpoint cost a materialization job per
+      // round for nothing. A periodic re-checkpoint stays as the
+      // backstop for deep caps (the API permits maxDepth up to 255,
+      // where nested-round Catalyst cost would otherwise resurface).
+      if ((dMax - lvl) % 8 == 0) deltaNext = deltaNext.localCheckpoint()
+      deltaRows = sh.counts(lvl)
       gains ::= deltaNext.where(col("v") =!= col("s") && col("delta") =!= 0.0)
       lvl -= 1
     }
@@ -394,11 +437,11 @@ object Centrality {
           array_sort(collect_list(struct(col("s"), col("delta")))),
           lit(0.0), (a, x) => a + x.getField("delta")) / lit(norm))
           .as("bc"))
-    val everyNode = all.select(col("v")).distinct()
+    val everyNode = sh.all.select(col("v")).distinct()
     if (gains.isEmpty)
       everyNode.select(col("v").as("node"), lit(0.0).as("bc"))
     else
-      everyNode.join(summed, Seq("v"), "left_outer")
+      everyNode.join(hinted(summed, sh.totalRows), Seq("v"), "left_outer")
         .select(col("v").as("node"),
           coalesce(col("bc"), lit(0.0)).as("bc"))
   }
@@ -418,8 +461,8 @@ object Centrality {
     val e = prepBetweennessEdges(edges)
     val src = prepBetweennessSources(sources)
     val nSources = src.count()
-    val (all, _) = sigmaForward(e, src, maxDepth)
-    pairDependencyFrom(all, nSources)
+    val sh = sigmaForwardShells(e, src, maxDepth)
+    pairDependencyFrom(sh.all, nSources, sh.totalRows)
   }
 
   /** Both sides from ONE forward pass: (node, spc, bc, bc_formula) —
@@ -431,14 +474,25 @@ object Centrality {
     val e = prepBetweennessEdges(edges)
     val src = prepBetweennessSources(sources)
     val nSources = src.count()
-    val (all, dMax) = sigmaForward(e, src, maxDepth)
-    val bc = brandesBackward(spark, e, all, dMax, nSources)
-    val pd = pairDependencyFrom(all, nSources)
-    bc.join(pd, Seq("node"))
+    val sh = sigmaForwardShells(e, src, maxDepth)
+    val bc = brandesBackward(spark, e, sh, nSources)
+    val pd = pairDependencyFrom(sh.all, nSources, sh.totalRows)
+    // both sides are one row per reached node (≤ totalRows)
+    if (sh.totalRows <= BackwardBroadcastMaxRows)
+      bc.join(broadcast(pd), Seq("node"))
+    else bc.join(pd, Seq("node"))
   }
 
-  private[graft] def pairDependencyFrom(all: DataFrame,
-                                 nSources: Long): DataFrame = {
+  /** `allRows`, when known, enables broadcast hints on the small side
+    * of every join (the pair table itself and the per-(s,t) sigma
+    * lookup); 0 (unknown) keeps the stats-free shuffle joins. Sums are
+    * exact integers or pinned-order folds — strategy cannot change
+    * results. */
+  private[graft] def pairDependencyFrom(all: DataFrame, nSources: Long,
+                                 allRows: Long = 0L): DataFrame = {
+    def hinted(df: DataFrame): DataFrame =
+      if (allRows > 0L && allRows <= BackwardBroadcastMaxRows) broadcast(df)
+      else df
     val sp = all
     val a = sp.select(col("s"), col("v"), col("d").as("dsv"),
       col("sigma").as("ssv")).where(col("s") =!= col("v"))
@@ -447,9 +501,9 @@ object Centrality {
       .where(col("v") =!= col("t"))
     val st = sp.select(col("s"), col("v").as("t"), col("d").as("dst"),
       col("sigma").as("sst"))
-    val through = a.join(b, Seq("v"))
+    val through = a.join(hinted(b), Seq("v"))
       .where(col("s") =!= col("t"))
-      .join(st, Seq("s", "t"))
+      .join(hinted(st), Seq("s", "t"))
       .where(col("dsv") + col("dvt") === col("dst"))
     val norm = nSources.toDouble * (nSources.toDouble - 1.0)
     val scored = through
@@ -463,7 +517,7 @@ object Centrality {
         (aggregate(array_sort(collect_list(col("stq"))), lit(0.0),
           (acc2, x) => acc2 + x.getField("q")) / lit(norm)).as("bc_formula"))
     sp.select(col("v")).distinct()
-      .join(scored, Seq("v"), "left_outer")
+      .join(hinted(scored), Seq("v"), "left_outer")
       .select(col("v").as("node"),
         coalesce(col("spc"), lit(0L)).as("spc"),
         coalesce(col("bc_formula"), lit(0.0)).as("bc_formula"))

@@ -109,20 +109,37 @@ object SpellTrain {
     // make the self-join quadratic — such buckets are dropped wholesale
     // via a broadcast anti-join (documented recall loss), never melted
     // through. cache: the count and the anti-join both consume keyed0.
-    val keyed = {
-      val cached = keyed0.cache()
-      val hot = cached.groupBy("key").agg(count(lit(1)).as("n"))
-        .where(col("n") > cfg.maxBucket).select("key")
-      cached.join(broadcast(hot), Seq("key"), "left_anti")
-    }
+    // A cap of Int.MaxValue can never drop a bucket — skip the counting
+    // pass (and its cache) outright instead of anti-joining an
+    // always-empty hot set.
+    val keyed =
+      if (cfg.maxBucket == Int.MaxValue) keyed0
+      else {
+        val cached = keyed0.cache()
+        val hot = cached.groupBy("key").agg(count(lit(1)).as("n"))
+          .where(col("n") > cfg.maxBucket).select("key")
+        cached.join(broadcast(hot), Seq("key"), "left_anti")
+      }
     val a = keyed.select(col("key"), col("term").as("a"), col("cnt").as("a_cnt"))
-    val b = keyed.select(col("key"), col("term").as("b"), col("cnt").as("b_cnt"))
+    // correction-side pre-filter: a winning correction needs
+    // cnt(b) > factor·cnt(a) and cnt(a) ≥ minTermCount, so any b with
+    // cnt ≤ factor·minTermCount can never survive the frequency filter
+    // below — dropping those rows BEFORE the bucket self-join removes
+    // the long Zipf tail (most of the vocabulary) from the join's right
+    // side without changing the result (guide §2.3: shuffle fewer
+    // bytes / prune before the exchange).
+    val b = keyed.where(col("cnt") > lit(cfg.correctionFactor * cfg.minTermCount))
+      .select(col("key"), col("term").as("b"), col("cnt").as("b_cnt"))
+    // frequency + edit-distance filters run BEFORE the distinct: both
+    // are deterministic functions of the distinct key, so the result is
+    // identical, but the dedup shuffle now carries only surviving pairs
+    // (previously every shared-key duplicate of every pair).
     a.join(b, Seq("key"))
       .where(col("a") =!= col("b"))
-      .select("a", "a_cnt", "b", "b_cnt").distinct()
       .where(col("b_cnt") > col("a_cnt") * lit(cfg.correctionFactor))
       .where(levenshtein(col("a"), col("b")) <=
         when(length(col("a")) <= 4, 1).when(length(col("a")) <= 12, 2).otherwise(3))
+      .select("a", "a_cnt", "b", "b_cnt").distinct()
   }
 
   /** Context-vote winners: for each frequent trigram context of a
@@ -139,8 +156,15 @@ object SpellTrain {
       .distinct()
     val cands = pairs.select(col("a"), col("b").as("c"))
       .union(pairs.select(col("a"), col("a").as("c"))).distinct()
+    // the context-vote lookup only ever matches trigrams whose MIDDLE
+    // word is a candidate (a term or one of its corrections) — a
+    // broadcast semi-join on that small set prunes the trigram table
+    // before the 3-key join instead of shuffling every trigram
+    // (guide §3.2: reduce the big side before shuffling it).
+    val midSet = cands.select(col("c").as("lc")).distinct()
     val lookup = tg.select(col("w1").as("l1"), col("w2").as("lc"),
       col("w3").as("l3"), col("cnt").as("c_cnt"))
+      .join(broadcast(midSet), Seq("lc"), "left_semi")
     val scored = contexts.join(cands, Seq("a"))
       .join(lookup, col("w1") === col("l1") && col("w3") === col("l3") &&
         col("c") === col("lc"), "left")
