@@ -73,6 +73,14 @@ object Centrality {
     val e = if (e0.count() <= broadcastMaxEdges) broadcast(e0) else e0
     val nodes = e0.select(col("src").as("n"))
       .union(e0.select(col("dst").as("n"))).distinct().localCheckpoint()
+    // the visited pair table is bounded by nodes², so one node count
+    // decides broadcasting for every round's anti-join and score join
+    // (≤2000 nodes ⇒ ≤4M pairs) — no per-round size probes; sums are
+    // exact integers, so join strategy cannot change any value. An
+    // over-threshold graph keeps the scale-safe shuffle joins.
+    val nodesCnt = nodes.count()
+    val tiny = nodesCnt * nodesCnt <= BackwardBroadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (tiny) broadcast(df) else df
     // visited pairs (v, u): u ∈ B(v, d); frontier = the newest shell.
     // Iterative plans need their lineage TRUNCATED each round
     // (localCheckpoint): without it the d-th round's plan nests every
@@ -89,14 +97,14 @@ object Centrality {
     while (d <= maxDepth) {
       val next = frontier.join(e, e("dst") === frontier("u"))
         .select(col("v"), col("src").as("u")).distinct()
-        .join(visited, Seq("v", "u"), "left_anti")
+        .join(hinted(visited), Seq("v", "u"), "left_anti")
         .localCheckpoint()
       val shell = next.groupBy("v").agg(count(lit(1)).as("c"))
         .select(col("v"), (col("c") * lit(lcm / d)).as("add"))
       // scores/visited build on CHECKPOINTED shells only, so their own
       // lineage stays shallow (a 4-deep join/union chain) — no extra
       // materialization jobs needed for them
-      scores = scores.join(shell, Seq("v"), "left_outer")
+      scores = scores.join(hinted(shell), Seq("v"), "left_outer")
         .select(col("v"), (col("h") + coalesce(col("add"), lit(0L))).as("h"))
       visited = visited.union(next)
       frontier = next
@@ -532,10 +540,18 @@ object Centrality {
   def harmonicHyperBall(spark: SparkSession, edges: DataFrame,
                         maxDepth: Int): Dataset[BallState] = {
     import spark.implicits._
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct()
       .as[(Long, Long)].localCheckpoint()
-    val nodes = e.map(_._1).union(e.map(_._2)).distinct().localCheckpoint()
+    // small-graph fast path: broadcast the 16 B/row edge list into the
+    // per-round sketch-shipping join and the ≈300 B/row merged-sketch
+    // table into the per-round outer join (register max-merge is
+    // commutative/associative, so join strategy cannot change a
+    // sketch); counts are cached-block scans. Over-threshold graphs
+    // keep the scale-safe shuffle joins — HyperBall's 100 TB shape.
+    val e = if (e0.count() <= ExactBroadcastMaxEdges) broadcast(e0) else e0
+    val nodes = e0.map(_._1).union(e0.map(_._2)).distinct().localCheckpoint()
+    val tinySketch = nodes.count() <= 200000L
     // prevEst seeds with the ESTIMATOR's view of the singleton ball,
     // not the exact 1.0: deltas subtract estimates from estimates
     // (Boldi & Vigna), and an exact seed inflates every node's first
@@ -547,11 +563,12 @@ object Centrality {
     while (t <= maxDepth) {
       val depth = t
       // sketches travel src -> dst; reduce per destination by max-merge
-      val inbound = cur.joinWith(e, cur("node") === e("src"))
+      val inbound0 = cur.joinWith(e, cur("node") === e("src"))
         .map { case (st, (_, dst)) => (dst, st.regs) }
         .groupByKey(_._1)
         .reduceGroups((a, b) => (a._1, merge(a._2, b._2)))
         .map { case (node, (_, regs)) => (node, regs) }
+      val inbound = if (tinySketch) broadcast(inbound0) else inbound0
       cur = cur.joinWith(inbound, cur("node") === inbound("_1"), "left_outer")
         .map { case (st, in) =>
           val regs = if (in == null) st.regs else merge(st.regs, in._2)

@@ -62,9 +62,22 @@ object Dedup {
     val hashed = src.select(col("id"),
         explode(TextOps.shingles(col("t"), shingleN)).as("s"))
       .select(col("id"), md5(col("s").cast("binary")).as("h"))
-    // map-side combine collapses to one row per (doc, band) pre-shuffle
-    val bandCols = (0 until bands).map(j =>
-      min(TextOps.bandSlice(col("h"), j, bands)).as(s"b$j"))
+    // map-side combine collapses to one row per (doc, band) pre-shuffle.
+    // The band slice aggregates as a LONG where it fits (≤15 hex chars
+    // = 60 bits): min over a string column forces the whole exploded
+    // hash stream through a Sort + SortAggregate (string agg buffers
+    // are not hash-aggregable), while min over a long runs as a
+    // map-side partial HashAggregate. Fixed-width lowercase hex orders
+    // identically lexicographically and numerically, so the chosen
+    // minima — and therefore the emitted candidate pairs — are
+    // unchanged.
+    val width = 32 / bands
+    val numericSlice = width <= 15
+    val bandCols = (0 until bands).map { j =>
+      val slice = TextOps.bandSlice(col("h"), j, bands)
+      min(if (numericSlice) conv(slice, 16, 10).cast("long") else slice)
+        .as(s"b$j")
+    }
     val sigs = hashed.groupBy("id").agg(bandCols.head, bandCols.tail: _*)
     val long = sigs.select(col("id"),
       explode(array((0 until bands).map(j =>

@@ -71,23 +71,36 @@ object NaiveBayes {
           minDf: Long = 1L): Model = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // cache the NARROW normalized rows (label + text), not the exploded
+    // token stream: the three aggregates below re-tokenize from the
+    // in-memory rows with codegen'd splits, which is far cheaper than
+    // materializing and shuffling every token occurrence (guide §5:
+    // cache what is reused, keep per-task state small)
     val base = TextOps.fanOut(docs
         .select(col(labelCol).cast("string").as("label"), col(textCol).as("text")))
-      .withColumn("_doc", monotonically_increasing_id())
-    val toks = base
-      .select($"label", $"_doc", explode(split($"text", "\\s+")).as("term"))
-      .where($"term" =!= "")
       .cache()
     try {
-      val n = base.count()
-      require(n > 0, "NaiveBayes.fit: empty input")
       val classCounts = base.groupBy($"label").agg(count(lit(1)).as("c"))
         .as[(String, Long)].collect().sortBy(_._1)
-      val dfRows = toks.select($"_doc", $"term").distinct()
+      // n derives from the class counts — no separate count() pass
+      val n = classCounts.map(_._2).sum
+      require(n > 0, "NaiveBayes.fit: empty input")
+      // document frequency via a PER-ROW distinct (array_distinct on
+      // the token array) instead of a corpus-wide (doc, term) distinct:
+      // each row contributes 1 per distinct term it contains, so the
+      // counts are identical, but the big dedup exchange is gone — the
+      // only shuffle left is the vocab-sized partial-aggregated count
+      // (guide §2.4: remove shuffles outright).
+      val dfRows = base
+        .select(explode(array_distinct(
+          filter(split($"text", "\\s+"), t => t =!= ""))).as("term"))
         .groupBy($"term").agg(count(lit(1)).as("df"))
         .where($"df" >= minDf)
         .as[(String, Long)].collect()
-      val ctRows = toks.groupBy($"label", $"term").agg(count(lit(1)).as("cnt"))
+      val ctRows = base
+        .select($"label", explode(split($"text", "\\s+")).as("term"))
+        .where($"term" =!= "")
+        .groupBy($"label", $"term").agg(count(lit(1)).as("cnt"))
         .as[(String, String, Long)].collect()
 
       val vocab = dfRows.map(_._1).sorted
@@ -113,7 +126,7 @@ object NaiveBayes {
         }.toMap
       }
       Model(classes, prior, priorLn, vocab, idf, flp)
-    } finally toks.unpersist()
+    } finally base.unpersist()
   }
 
   /** Driver-side single-text prediction (the reference's

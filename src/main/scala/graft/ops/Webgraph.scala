@@ -111,16 +111,26 @@ object Webgraph {
       .select(col(srcCol).as("source"), col(srcCol).as("node"),
         lit(0L).as("dist"))
       .distinct().localCheckpoint()
+    // the emptiness probe per round doubles as the row count, so the
+    // anti-join's visited side gets a size-guarded broadcast hint for
+    // free (stats-free checkpointed frames otherwise force a two-sided
+    // shuffle join every round); dist is an exact integer — join
+    // strategy cannot change any value. Over-threshold ball state
+    // degrades to the scale-safe shuffle join.
+    var visRows = visited.count()
     var frontier = visited.select("source", "node")
     var d = 1
     var exhausted = false
     while (d <= maxDist && !exhausted) {
+      val vk0 = visited.select("source", "node")
+      val vk = if (visRows <= Centrality.BackwardBroadcastMaxRows)
+        broadcast(vk0) else vk0
       val next = frontier.join(e, frontier("node") === e("from"))
         .select(col("source"), col("to").as("node")).distinct()
-        .join(visited.select("source", "node"), Seq("source", "node"),
-          "left_anti")
+        .join(vk, Seq("source", "node"), "left_anti")
         .localCheckpoint()
-      if (next.isEmpty) exhausted = true
+      val n = next.count()
+      if (n == 0L) exhausted = true
       else {
         // next is checkpointed, so the running union of shells stays a
         // flat plan over materialized leaves — re-checkpointing it per
@@ -128,6 +138,7 @@ object Webgraph {
         visited = visited
           .union(next.select(col("source"), col("node"),
             lit(d.toLong).as("dist")))
+        visRows += n
         frontier = next
       }
       d += 1
