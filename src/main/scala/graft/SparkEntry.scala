@@ -251,8 +251,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- index-build relational analogs over `documents` ----
     "q_df_topterms" -> ((s, d) => {
-      tokensDF(s, d).groupBy("term")
-        .agg(countDistinct("doc_id").as("df"))
+      // df = docs containing the term: per-row array_distinct dedups
+      // inside each doc, so the countDistinct over the exploded stream
+      // collapses to a plain partial-aggregated count — one exchange
+      // instead of the corpus-wide (doc, term) distinct (guide §2.3/2.4)
+      t(s, d, "documents")
+        .select(explode(array_distinct(toks(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term"))
         .limit(50)
     }),
@@ -265,8 +270,10 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "q_idf" -> ((s, d) => {
-      val tf = tokensDF(s, d).groupBy("term")
-        .agg(countDistinct("doc_id").as("df"))
+      // per-row dedup form of df, as q_df_topterms
+      val tf = t(s, d, "documents")
+        .select(explode(array_distinct(toks(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
       val n = t(s, d, "documents").count()
       tf.where(col("df") >= 10)
         .select(col("term"), col("df"),
@@ -282,21 +289,35 @@ object SparkEntry {
         .orderBy("source", "rn")
     }),
     "q_intersect" -> ((s, d) => {
-      val tk = tokensDF(s, d)
-      val a = tk.where(col("term") === "spark").select("doc_id").distinct()
-      val b = tk.where(col("term") === "slow").select("doc_id").distinct()
-      a.join(b, "doc_id").orderBy("doc_id")
+      // doc ∈ intersection ⇔ its token array contains BOTH terms — a
+      // per-row membership test replaces the two tokenize passes, two
+      // distinct shuffles and the join (result identical; empty-string
+      // pseudo-tokens cannot equal a query term, so the raw split
+      // suffices and its single subtree is CSE-shared, unlike lambda-
+      // bearing filter trees)
+      val tk = split(lower(col("text")), "\\s+")
+      t(s, d, "documents")
+        .where(array_contains(tk, "spark") && array_contains(tk, "slow"))
+        .select("doc_id").orderBy("doc_id")
     }),
     "q_negation" -> ((s, d) => {
-      val tk = tokensDF(s, d)
-      val a = tk.where(col("term") === "spark").select("doc_id").distinct()
-      val b = tk.where(col("term") === "batch").select("doc_id").distinct()
-      a.join(b, Seq("doc_id"), "left_anti").orderBy("doc_id")
+      // membership-test form of the anti-join (see q_intersect)
+      val tk = split(lower(col("text")), "\\s+")
+      t(s, d, "documents")
+        .where(array_contains(tk, "spark") && !array_contains(tk, "batch"))
+        .select("doc_id").orderBy("doc_id")
     }),
     "q_union_count" -> ((s, d) => {
-      val tk = tokensDF(s, d)
-      tk.where(col("term").isin("spark", "batch"))
-        .groupBy("doc_id").agg(countDistinct("term").as("nterms"))
+      // countDistinct over {spark, batch} per doc == (has spark) +
+      // (has batch) — per-row membership tests replace the tokenize
+      // explode and the per-doc distinct shuffle; docs matching neither
+      // term are excluded exactly as the explode+filter form excluded
+      // them
+      val tk = split(lower(col("text")), "\\s+")
+      t(s, d, "documents")
+        .select((array_contains(tk, "spark").cast("long") +
+          array_contains(tk, "batch").cast("long")).as("nterms"))
+        .where(col("nterms") > 0)
         .groupBy("nterms").agg(count(lit(1)).as("docs"))
         .orderBy("nterms")
     }),
@@ -387,7 +408,14 @@ object SparkEntry {
       // recomputes the exact side and asserts the flag. A sketch
       // regression flips the flag and fails the hash loudly. The raw
       // estimate itself stays gated by OpsSpec.
-      tokensDF(s, d).join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+      // lang is on the same row as text — tokenize with it directly
+      // (the old join back to documents re-shuffled the whole token
+      // stream); per-row array_distinct shrinks both aggregates' input
+      // without changing either (countDistinct sees the same sets; an
+      // HLL register insert is idempotent, so the sketch is identical)
+      t(s, d, "documents")
+        .select(col("lang"),
+          explode(array_distinct(toks(col("text")))).as("term"))
         .groupBy("lang")
         .agg(countDistinct("term").as("vocab"),
           approx_count_distinct("term", 0.02).as("hll"))
@@ -397,7 +425,10 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "q_count_distinct" -> ((s, d) => {
-      tokensDF(s, d).join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+      // see q_count_distinct_hll: no join, per-row dedup
+      t(s, d, "documents")
+        .select(col("lang"),
+          explode(array_distinct(toks(col("text")))).as("term"))
         .groupBy("lang").agg(countDistinct("term").as("vocab"))
         .orderBy("lang")
     }),
@@ -459,14 +490,23 @@ object SparkEntry {
     "q_count_estimate" -> ((s, d) => {
       // the reference's saturated-count estimator: N * prod(df_i / N)
       // under term independence (collector/approx_count.rs:169-179),
-      // next to the exact intersection count
-      val tk = tokensDF(s, d)
-      val n = t(s, d, "documents").count().toDouble
-      val dfA = tk.where(col("term") === "spark").select("doc_id").distinct()
-      val dfB = tk.where(col("term") === "batch").select("doc_id").distinct()
-      val ca = dfA.count().toDouble
-      val cb = dfB.count().toDouble
-      val exact = dfA.join(dfB, "doc_id").count()
+      // next to the exact intersection count. All four counts (N, the
+      // two dfs, the exact intersection) come from ONE membership-test
+      // pass instead of four tokenize-and-count actions — identical
+      // integers, one scan.
+      val tk = split(lower(col("text")), "\\s+")
+      val row = t(s, d, "documents")
+        .select(array_contains(tk, "spark").as("a"),
+          array_contains(tk, "batch").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("cb"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("exact"))
+        .head()
+      val n = row.getLong(0).toDouble
+      val ca = row.getLong(1).toDouble
+      val cb = row.getLong(2).toDouble
+      val exact = row.getLong(3)
       import s.implicits._
       Seq((math.round(n * (ca / n) * (cb / n)), exact))
         .toDF("estimate", "exact")
@@ -2907,9 +2947,20 @@ object SparkEntry {
   private def relationalBm25(s: SparkSession, d: String, terms: Seq[String],
                              k: Int): DataFrame = {
     def tfCol(t: String) = s"tf_$t"
-    val perDoc = tokensDF(s, d).groupBy("doc_id").agg(
-      count(lit(1)).as("dl"),
-      terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(tfCol(t))): _*)
+    // per-row form of the per-doc stats: dl = token-array size, tf_t =
+    // occurrences of t in the array — no explode and no per-doc shuffle
+    // (the old groupBy(doc_id) over the exploded stream). Zero-token
+    // docs are excluded exactly as the explode form excluded them. The
+    // checkpoint materializes the narrow per-doc table once; the stats
+    // row and the final top-k below would otherwise each re-tokenize
+    // the corpus (separate actions cannot share a shuffle).
+    val perDoc = t(s, d, "documents")
+      .withColumn("tk", toks(col("text")))
+      .select(col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+        terms.map(tm =>
+          size(filter(col("tk"), x => x === tm)).cast("long").as(tfCol(tm))): _*)
+      .where(col("dl") > 0)
+      .localCheckpoint()
     val statCols = sum(col("dl")) +: count(lit(1)) +:
       terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)))
     val statsRow = perDoc.agg(statCols.head, statCols.tail: _*).head()
