@@ -218,7 +218,11 @@ object Dedup {
                         dim: Int, tau: Double, bits: Int = 8,
                         maxBucketSize: Int = 10000): DataFrame = {
     require(maxBucketSize > 0, "maxBucketSize must be positive")
+    // the row norm rides along so the within-bucket rerank pays one dot
+    // per pair instead of re-deriving both 64-dim norms per pair (see
+    // Similarity.cosinePre — values bit-identical to the inline cosine)
     val b0 = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.norm(col(vecCol)).as("nrm"),
       Similarity.lshBucket(col(vecCol), dim, bits).as("bucket"))
     val b = {
       // cache: hot-bucket count AND the anti-join both consume b0
@@ -231,7 +235,8 @@ object Dedup {
     b.as("x").join(b.as("y"),
         expr("x.bucket = y.bucket AND x.id < y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(Similarity.cosine(col("x.vec"), col("y.vec")), 4).as("cos"))
+        round(Similarity.cosinePre(col("x.vec"), col("y.vec"),
+          col("x.nrm"), col("y.nrm")), 4).as("cos"))
       .where(col("cos") >= tau)
   }
 }

@@ -18,6 +18,19 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** cosine with the two norms supplied as PRE-COMPUTED columns.
+    * Higher-order-function subtrees are excluded from Spark's common-
+    * subexpression elimination, so an inline cosine() inside a
+    * candidate join recomputes both 64-dim norms for every candidate
+    * PAIR; materializing each side's norm once per ROW and carrying it
+    * through the join leaves only the dot product per pair. The
+    * division/multiplication order matches cosine() exactly
+    * (dot / (norm_a * norm_b)), and each norm column is produced by the
+    * identical sqrt-of-self-dot expression, so every emitted double is
+    * bit-identical to the inline form. */
+  private[ops] def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Exact top-k by cosine against one query vector (broadcast as a
     * literal array): one scan + TakeOrderedAndProject. */
   def topKCosine(df: DataFrame, idCol: String, vecCol: String,
@@ -34,12 +47,14 @@ object Similarity {
   def knnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
-      col(vecCol).as("probe_vec")))
-    val scored = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm")))
+    val scored = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+        norm(col(vecCol)).as("nbr_norm"))
       .crossJoin(p)
       .where(col("probe_id") =!= col("nbr_id"))
       .select(col("probe_id"), col("nbr_id"),
-        round(cosine(col("probe_vec"), col("nbr_vec")), 4).as("cos"))
+        round(cosinePre(col("probe_vec"), col("nbr_vec"),
+          col("probe_norm"), col("nbr_norm")), 4).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
@@ -75,6 +90,30 @@ object Similarity {
   def ivfCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(vec, typedLit(c)).as("cos"), lit(-i).as("nid"))
+    }
+    (if (scored.length == 1) scored.head else greatest(scored: _*))
+      .getField("nid") * -1
+  }
+
+  /** Driver-side twin of the norm() column over a literal vector —
+    * the same left-to-right double fold and sqrt Catalyst's constant
+    * folding produces, so lit(normOf(c)) is bit-equal to the folded
+    * norm(typedLit(c)). */
+  private def normOf(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** [[ivfCell]] with the row vector's norm as a pre-computed column
+    * (shared across all centroid cosines; see cosinePre — every score
+    * is bit-identical to the inline form). */
+  private def ivfCellPre(vec: Column, nv: Column,
+                         centroids: Seq[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosinePre(vec, typedLit(c), nv, lit(normOf(c))).as("cos"),
+        lit(-i).as("nid"))
     }
     (if (scored.length == 1) scored.head else greatest(scored: _*))
       .getField("nid") * -1
@@ -123,20 +162,34 @@ object Similarity {
                  vecCol: String, k: Int, nlist: Int, nprobe: Int,
                  refine: Int = 0): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refine)
-    val cb = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
-      ivfCell(col(vecCol), cents).as("cell"))
+    // the vector's own norm is shared by all nlist centroid cosines
+    // (norm(centroid-literal) constant-folds; the row norm would
+    // otherwise be recomputed per centroid — see cosinePre)
+    val cb = corpus
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+        norm(col(vecCol)).as("nbr_norm"))
+      .select(col("nbr_id"), col("nbr_vec"), col("nbr_norm"),
+        ivfCellPre(col("nbr_vec"), col("nbr_norm"), cents).as("cell"))
     // nprobe nearest cells per probe: literal centroid structs sorted
     // by (cos desc, id asc), sliced, exploded into probe-cell pairs
-    val cellStructs = array(cents.zipWithIndex.map { case (c, i) =>
-      struct((cosine(col(vecCol), typedLit(c)) * -1).as("negcos"), lit(i).as("nid"))
-    }: _*)
-    val pb = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-        explode(slice(array_sort(cellStructs), 1, nprobe)).as("pc"))
-      .select(col("probe_id"), col("probe_vec"), col("pc.nid").as("cell"))
+    def cellStructs(vec: Column, nv: Column) = array(
+      cents.zipWithIndex.map { case (c, i) =>
+        struct((cosinePre(vec, typedLit(c), nv, lit(normOf(c))) * -1)
+          .as("negcos"), lit(i).as("nid"))
+      }: _*)
+    val pb = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        norm(col(vecCol)).as("probe_norm"))
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
+        explode(slice(array_sort(
+          cellStructs(col("probe_vec"), col("probe_norm"))), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
+        col("pc.nid").as("cell"))
     val scored = cb.join(pb, "cell")
       .where(col("probe_id") =!= col("nbr_id"))
       .select(col("probe_id"), col("nbr_id"),
-        round(cosine(col("probe_vec"), col("nbr_vec")), 4).as("cos"))
+        round(cosinePre(col("probe_vec"), col("nbr_vec"),
+          col("probe_norm"), col("nbr_norm")), 4).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
@@ -161,6 +214,7 @@ object Similarity {
                  maxBucketSize: Int = 10000): DataFrame = {
     require(maxBucketSize > 0, "maxBucketSize must be positive")
     val cb0 = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      norm(col(vecCol)).as("nbr_norm"),
       lshBucket(col(vecCol), dim, bits).as("bucket"))
     val cb =
       if (maxBucketSize == Int.MaxValue) cb0
@@ -175,11 +229,13 @@ object Similarity {
         cached.join(broadcast(hot), Seq("bucket"), "left_anti")
       }
     val pb = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      norm(col(vecCol)).as("probe_norm"),
       lshBucket(col(vecCol), dim, bits).as("bucket"))
     val scored = cb.join(pb, "bucket")
       .where(col("probe_id") =!= col("nbr_id"))
       .select(col("probe_id"), col("nbr_id"),
-        round(cosine(col("probe_vec"), col("nbr_vec")), 4).as("cos"))
+        round(cosinePre(col("probe_vec"), col("nbr_vec"),
+          col("probe_norm"), col("nbr_norm")), 4).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
