@@ -463,11 +463,14 @@ object SparkEntry {
       // key, and only concat the 30 surviving pairs (the old
       // posexplode+window plan paid a per-doc shuffle+sort; a naive
       // shingle transform paid a concat per token occurrence)
-      val tk = toks(col("text"))
-      val pairs = zip_with(tk,
-        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      // tk materializes as a real column first: lambda-bearing token
+      // subtrees are CSE-excluded, so the inline form tokenized every
+      // row twice (once for the zip side, once for the shifted slice)
+      val pairs = zip_with(col("tk"),
+        slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))
       t(s, d, "documents")
+        .withColumn("tk", toks(col("text")))
         .select(explode(pairs).as("bg"))
         .where(col("bg.w2").isNotNull)
         .groupBy("bg").agg(count(lit(1)).as("cnt"))
@@ -478,11 +481,12 @@ object SparkEntry {
     "q_phrase_match" -> ((s, d) => {
       // relational face of PhraseQuery: adjacency as a boolean zip over
       // the token array and its shift — shuffle-free AND allocation-free
-      val tk = toks(col("text"))
-      val hits = filter(zip_with(tk,
-        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      // tk materialized once (see q_bigrams)
+      val hits = filter(zip_with(col("tk"),
+        slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
         (a, b) => a === "data" && b === "table"), x => x)
       t(s, d, "documents")
+        .withColumn("tk", toks(col("text")))
         .select(col("doc_id"), size(hits).cast("long").as("phrase_freq"))
         .where(col("phrase_freq") > 0)
         .orderBy("doc_id")
@@ -621,11 +625,12 @@ object SparkEntry {
     "q_langid" -> ((s, d) => {
       // n-gram/stopword-heuristic language scoring: english-stopword hit
       // ratio as the en-likelihood proxy
-      val tk = toks(col("text"))
-      val stop = size(filter(tk, x => x.isin(TextOps.EnglishStopwords: _*)))
+      // tk materialized once (see q_bigrams)
+      val stop = size(filter(col("tk"), x => x.isin(TextOps.EnglishStopwords: _*)))
       t(s, d, "documents").where(col("doc_id") < 200)
+        .withColumn("tk", toks(col("text")))
         .select(col("doc_id"), col("lang"),
-          round(stop.cast("double") / size(tk), 4).as("en_score"))
+          round(stop.cast("double") / size(col("tk")), 4).as("en_score"))
         .orderBy("doc_id")
     }),
     "q_langid_multi" -> ((s, d) => {
@@ -795,9 +800,14 @@ object SparkEntry {
       // centrality jobs' output plugs straight in); LogGroupSpec pins
       // the band math against the reference's own vectors.
       import graft.ops.Webgraph
-      val edges = webgraphEdges(s, d)
+      // checkpoint the derived edge table: the repo-universe count
+      // action and the final grouped-backlink pass would otherwise each
+      // re-run the typed-map edge derivation over the documents scan
+      // (separate actions cannot share stages); ranks is repo-sized —
+      // broadcast it into the edge join
+      val edges = webgraphEdges(s, d).localCheckpoint()
       val repos = edges.select(col("src").as("repo"))
-        .union(edges.select(col("dst"))).distinct()
+        .union(edges.select(col("dst"))).distinct().localCheckpoint()
       val indeg = edges.groupBy(col("dst").as("repo"))
         .agg(sum("weight").as("indeg0"))
       val w = Window.orderBy(col("indeg").desc, col("repo"))
@@ -805,7 +815,8 @@ object SparkEntry {
         .select(col("repo"), coalesce(col("indeg0"), lit(0L)).as("indeg"))
         .withColumn("rank", (row_number().over(w) - 1).cast("long"))
       val n = repos.count()
-      Webgraph.groupedBacklinks(edges, ranks, n).orderBy("dst", "grp", "src")
+      Webgraph.groupedBacklinks(edges, broadcast(ranks), n)
+        .orderBy("dst", "grp", "src")
     }),
     "q_summarize" -> ((s, d) => {
       // query-specific extractive summarization (summarizer.rs):

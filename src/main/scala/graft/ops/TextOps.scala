@@ -19,6 +19,15 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Inputs at or under this estimated size skip fanOut outright: the
+    * downstream explode/hash work on a few tens of KB finishes faster
+    * than the repartition's shuffle setup. The threshold is against
+    * the optimizer's estimate, which for a parquet scan is the
+    * COMPRESSED file size — text compresses ~20×, so this must stay
+    * far below the point where the exploded work saturates one core
+    * (measured: 580 KB compressed ⇒ ~6 s of single-core shingle+md5). */
+  final val FanOutMinBytes: Long = 32L * 1024
+
   /** Ensure at least the session's default parallelism ahead of an
     * explode/hash-heavy projection. A small single-file input (one
     * parquet row group = one Spark partition) otherwise runs the whole
@@ -26,10 +35,15 @@ object TextOps {
     * ~0.3 s for q_dedup_minhash's shingle+md5 stage at sf0.1. The
     * shuffle moves only the narrow pre-explode rows; at real scale the
     * input already has >= cores partitions and this is a no-op, so it
-    * never adds a shuffle at 100 TB. */
+    * never adds a shuffle at 100 TB. Trivially small inputs (by
+    * optimizer size estimate) bypass both the shuffle AND the partition
+    * probe; the probe itself reads the internal-row RDD's partition
+    * count (queryExecution.toRdd) — no external-row conversion layer. */
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= FanOutMinBytes) df
+    else if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 
   val EnglishStopwords: Seq[String] = Seq(

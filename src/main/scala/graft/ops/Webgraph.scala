@@ -181,6 +181,14 @@ object Webgraph {
                    candidatesLimit: Int = 1024): DataFrame = {
     require(liked.nonEmpty, "need at least one liked repo")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // one cached-block count guards every small-side broadcast below
+    // (degree table, per-candidate scores): binary-set cosine terms are
+    // exact integer counts and the score fold is liked-order pinned, so
+    // join strategy cannot change results; an over-threshold graph
+    // keeps the shuffle joins
+    val eCnt = e.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (eCnt <= Centrality.BackwardBroadcastMaxRows) broadcast(df) else df
     val back = e.where(col("dst").isin(liked: _*)).select("src").distinct()
     val nBack = back.count()
     val votes = e.join(broadcast(back), Seq("src"))
@@ -207,8 +215,8 @@ object Webgraph {
         case (acc, (r, i)) => acc.when(col("l") === r, lit(i))
       }
     val sims = inter
-      .join(deg.select(col("dst").as("l"), col("deg").as("dl")), Seq("l"))
-      .join(deg.select(col("dst").as("c"), col("deg").as("dc")), Seq("c"))
+      .join(hinted(deg.select(col("dst").as("l"), col("deg").as("dl"))), Seq("l"))
+      .join(hinted(deg.select(col("dst").as("c"), col("deg").as("dc"))), Seq("c"))
       .select(col("c"), liCol.as("li"),
         (col("inter").cast("double") /
           (sqrt(col("dl").cast("double")) * sqrt(col("dc").cast("double"))))
@@ -219,7 +227,7 @@ object Webgraph {
         lit(0.0), (acc, x) => acc + x.getField("sim")).as("ssum"))
     // zero-overlap candidates still rank (score 0.0), like the
     // reference's scored_nodes over every potential node
-    cand.join(scored, cand("cand") === scored("c"), "left_outer")
+    cand.join(hinted(scored), cand("cand") === scored("c"), "left_outer")
       .select(col("cand").as("repo"),
         greatest(lit(0.0),
           coalesce(col("ssum"), lit(0.0)) / lit(liked.size.toDouble))
