@@ -32,7 +32,8 @@ object BenchExtra {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("GRAFT_EXTRA_LOGLEVEL", "WARN"))
     if (sys.env.getOrElse("GRAFT_EXTRA_NO_WARM", "0") != "1") {
       try {
         spark.read.parquet(s"$sfDir/nation.parquet")

@@ -15,8 +15,20 @@ import graft.ops.{Centrality => CentralityOps}
   * (WandSpec/IndexPipelineSpec) and appear here as rows-only entries. */
 object SparkEntry {
 
+  // cached table handles: a fresh read.parquet per face call pays a
+  // footer/schema job (~25 ms) and most faces touch `documents` two or
+  // three times while building their plan. Validated against the owning
+  // session like centExactCache — a handle from a stopped or different
+  // session is recomputed, never served.
+  private val tCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tCache.compute((dir, name), { (_, prev) =>
+      if (prev != null && prev.sparkSession.eq(s) &&
+          !prev.sparkSession.sparkContext.isStopped) prev
+      else s.read.parquet(s"$dir/$name.parquet")
+    })
 
   private def toks(c: Column): Column = TextOps.tokens(c)
 

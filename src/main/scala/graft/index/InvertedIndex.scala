@@ -39,8 +39,18 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     * look up under the wrong keys. */
   private[index] def queryStemmer: String => String = queryStem
 
+  // one DataFrame handle per row kind: every spark.read.parquet call
+  // pays a footer/schema-listing job (~25 ms), and a single search
+  // touches the posting/fnorm/doc tables several times. The instance
+  // already snapshots the directory via its lazy stats/fieldnorm
+  // caches (consumers build a fresh InvertedIndex after an append), so
+  // caching the readers adds no new staleness class.
+  @transient private lazy val dataFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def data(kind: String): DataFrame =
-    spark.read.parquet(s"${IndexBuilder.dataDir(dir)}/kind=$kind")
+    dataFrames.computeIfAbsent(kind, k =>
+      spark.read.parquet(s"${IndexBuilder.dataDir(dir)}/kind=$k"))
 
   def docs: Dataset[DocRow] = data("doc").select("doc.*").as[DocRow]
   def postings: Dataset[PostingRow] = data("posting").select("posting.*").as[PostingRow]
