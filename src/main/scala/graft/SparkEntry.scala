@@ -81,12 +81,33 @@ object SparkEntry {
   private val centExactCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // the PREPPED (distinct, deloop'd, checkpointed) derived edge table
+  // with its count, shared by all three centrality faces — each was
+  // re-running the same distinct+checkpoint+count prologue per job
+  private val centEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long)]()
+
+  private def centralityEdgesPrepped(s: SparkSession, d: String): (DataFrame, Long) =
+    centEdgesCache.compute(d, { (_, prev) =>
+      if (prev != null && prev._1.sparkSession.eq(s) &&
+          !prev._1.sparkSession.sparkContext.isStopped) prev
+      else {
+        val e = centralityEdges(s, d)
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+        (e, e.count())
+      }
+    })
+
   private def centralityExact(s: SparkSession, d: String): DataFrame =
     centExactCache.compute(d, { (_, prev) =>
       if (prev != null && prev.sparkSession.eq(s) &&
           !prev.sparkSession.sparkContext.isStopped) prev
-      else CentralityOps.harmonicExact(s, centralityEdges(s, d), maxDepth = 4)
-        .localCheckpoint()
+      else {
+        val (e, cnt) = centralityEdgesPrepped(s, d)
+        CentralityOps.harmonicExactPrepped(s, e, cnt, maxDepth = 4)
+          .localCheckpoint()
+      }
     })
 
   private def docIndex(s: SparkSession, dir: String): InvertedIndex =
@@ -355,7 +376,8 @@ object SparkEntry {
       // estimate against it; the oracle recomputes the exact side and
       // asserts the flag, so sketch drift fails the hash loudly
       val exact = centralityExact(s, d)
-      val est = CentralityOps.harmonicHyperBall(s, centralityEdges(s, d),
+      val (ce, ceCnt) = centralityEdgesPrepped(s, d)
+      val est = CentralityOps.harmonicHyperBallPrepped(s, ce, ceCnt,
         maxDepth = 4).select(col("node"), col("harmonic"))
       exact.join(est, "node")
         .select(col("node"), col("h"),
@@ -376,8 +398,8 @@ object SparkEntry {
       // 500 sources); 0.06 clears it while still failing loudly on a
       // sampling or BFS regression — the theory bound (epsilon) is 0.3.
       val exact = centralityExact(s, d)
-      val approx = CentralityOps.approxHarmonic(s, centralityEdges(s, d),
-        maxDist = 4)
+      val approx = CentralityOps.approxHarmonicPrepped(s,
+        centralityEdgesPrepped(s, d)._1, maxDist = 4)
       exact.join(approx, Seq("node"), "left_outer")
         .select(col("node"), col("h"),
           (abs(coalesce(col("score"), lit(0.0)) -

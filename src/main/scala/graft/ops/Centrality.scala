@@ -61,16 +61,27 @@ object Centrality {
   def harmonicExact(spark: SparkSession, edges: DataFrame,
                     maxDepth: Int,
                     broadcastMaxEdges: Long = ExactBroadcastMaxEdges): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // the checkpoint above already materialized e0, so this count is a
+    // cheap cached-block scan, not a recompute
+    harmonicExactPrepped(spark, e0, e0.count(), maxDepth, broadcastMaxEdges)
+  }
+
+  /** [[harmonicExact]] over an edge table the caller has ALREADY
+    * deduplicated, deloop'd, cast to long and checkpointed, with its
+    * row count — callers sharing one prepped graph across several
+    * centrality jobs (exact / sketch / sampled faces) skip a redundant
+    * distinct shuffle + materialization + count per job. */
+  def harmonicExactPrepped(spark: SparkSession, e0: DataFrame, eCnt: Long,
+                           maxDepth: Int,
+                           broadcastMaxEdges: Long = ExactBroadcastMaxEdges): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 6, "lcm trick holds for depth 1..6")
     val lcm = maxDepth match {
       case 1 => 1L; case 2 => 2L; case 3 => 6L
       case 4 => 12L; case 5 => 60L; case 6 => 60L
     }
-    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
-    // the checkpoint above already materialized e0, so this count is a
-    // cheap cached-block scan, not a recompute
-    val e = if (e0.count() <= broadcastMaxEdges) broadcast(e0) else e0
+    val e = if (eCnt <= broadcastMaxEdges) broadcast(e0) else e0
     val nodes = e0.select(col("src").as("n"))
       .union(e0.select(col("dst").as("n"))).distinct().localCheckpoint()
     // the visited pair table is bounded by nodes², so one node count
@@ -217,6 +228,15 @@ object Centrality {
                      seed: String = "ah"): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    approxHarmonicPrepped(spark, e, maxDist, epsilon, seed)
+  }
+
+  /** [[approxHarmonic]] over an already-prepped (distinct, deloop'd,
+    * checkpointed) edge table — see [[harmonicExactPrepped]]. */
+  def approxHarmonicPrepped(spark: SparkSession, e: DataFrame,
+                            maxDist: Int = 7,
+                            epsilon: Double = ApproxEpsilon,
+                            seed: String = "ah"): DataFrame = {
     val nEst = math.max(2L,
       e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
         .agg(approx_count_distinct(col("n"), 0.023)).head().getLong(0))
@@ -542,14 +562,23 @@ object Centrality {
     import spark.implicits._
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct()
-      .as[(Long, Long)].localCheckpoint()
+      .localCheckpoint()
+    harmonicHyperBallPrepped(spark, e0, e0.count(), maxDepth)
+  }
+
+  /** [[harmonicHyperBall]] over an already-prepped edge table with its
+    * row count — see [[harmonicExactPrepped]]. */
+  def harmonicHyperBallPrepped(spark: SparkSession, eDf: DataFrame,
+                               eCnt: Long, maxDepth: Int): Dataset[BallState] = {
+    import spark.implicits._
+    val e0 = eDf.as[(Long, Long)]
     // small-graph fast path: broadcast the 16 B/row edge list into the
     // per-round sketch-shipping join and the ≈300 B/row merged-sketch
     // table into the per-round outer join (register max-merge is
     // commutative/associative, so join strategy cannot change a
     // sketch); counts are cached-block scans. Over-threshold graphs
     // keep the scale-safe shuffle joins — HyperBall's 100 TB shape.
-    val e = if (e0.count() <= ExactBroadcastMaxEdges) broadcast(e0) else e0
+    val e = if (eCnt <= ExactBroadcastMaxEdges) broadcast(e0) else e0
     val nodes = e0.map(_._1).union(e0.map(_._2)).distinct().localCheckpoint()
     val tinySketch = nodes.count() <= 200000L
     // prevEst seeds with the ESTIMATOR's view of the singleton ball,

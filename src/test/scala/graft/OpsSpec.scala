@@ -30,10 +30,16 @@ class OpsSpec extends AnyFunSuite {
     assert(total == docs.count())
   }
 
-  test("fanOut widens narrow inputs and is a no-op on wide ones") {
+  test("fanOut widens narrow inputs, bypasses trivial ones, no-op on wide ones") {
     import spark.implicits._
     val p = spark.sparkContext.defaultParallelism
-    val narrow = (0 until 100).toDF("x").coalesce(1)
+    // trivially small input (under the FanOutMinBytes estimate): no
+    // shuffle — the downstream work is cheaper than the repartition
+    val tiny = (0 until 100).toDF("x").coalesce(1)
+    assert(TextOps.fanOut(tiny).rdd.getNumPartitions == 1)
+    assert(TextOps.fanOut(tiny).as[Int].collect().sorted.toSeq == (0 until 100))
+    // above-threshold narrow input widens to the session parallelism
+    val narrow = (0 until 2000).map(i => ("x" * 64) + i).toDF("x").coalesce(1)
     assert(narrow.rdd.getNumPartitions == 1)
     assert(TextOps.fanOut(narrow).rdd.getNumPartitions == p)
     // already-wide input keeps its partitioning (the 100 TB case: no
@@ -41,7 +47,8 @@ class OpsSpec extends AnyFunSuite {
     val wide = (0 until 100).toDF("x").repartition(p + 4)
     assert(TextOps.fanOut(wide).rdd.getNumPartitions == p + 4)
     // values unchanged either way
-    assert(TextOps.fanOut(narrow).as[Int].collect().sorted.toSeq == (0 until 100))
+    assert(TextOps.fanOut(narrow).as[String].collect().sorted.toSeq ==
+      (0 until 2000).map(i => ("x" * 64) + i).sorted)
   }
 
   test("canonicalMapping: same-domain dups map to min id, cross-domain and self excluded") {
