@@ -403,7 +403,8 @@ object SparkEntry {
       exact.join(approx, Seq("node"), "left_outer")
         .select(col("node"), col("h"),
           (abs(coalesce(col("score"), lit(0.0)) -
-            col("h").cast("double") / lit(12.0 * 499.0)) <= lit(0.06))
+            col("h").cast("double") /
+              lit(12.0 * (CentralityNodes - 1).toDouble)) <= lit(0.06))
             .as("within_bound"))
         .orderBy("node")
     }),
@@ -1999,16 +2000,24 @@ object SparkEntry {
        |               ORDER BY sortkey DESC, repo, path) AS BIGINT) - 1 AS grank
        |        FROM sk2)""".stripMargin
 
+  /** Node cap of the centrality faces' derived graph. One constant
+    * ties the edge derivation to q_centrality_approx's exact-side
+    * normalization 12·(n−1) — previously the 500 and the 499 were
+    * silently coupled literals. The ORACLE SQL (frozen) spells the
+    * same 500 out; changing this constant requires a new oracle. */
+  private val CentralityNodes = 500
+
   /** The centrality faces' graph, derived DETERMINISTICALLY from the
     * constant doc_id < 500 node set (identical at every SF): three
     * affine out-edges per node. Data-independent on purpose — the
     * corpus carries no link structure, so the graph exists to exercise
     * the operator with a SQL-re-derivable shape. */
   private def centralityEdges(s: SparkSession, d: String): DataFrame = {
-    val n = t(s, d, "documents").where(col("doc_id") < 500)
+    val n = t(s, d, "documents").where(col("doc_id") < CentralityNodes)
       .select(col("doc_id").as("src"))
     Seq((7L, 3L), (13L, 11L), (29L, 17L)).map { case (a, b) =>
-      n.select(col("src"), ((col("src") * a + b) % 500).as("dst"))
+      n.select(col("src"),
+        ((col("src") * a + b) % CentralityNodes).as("dst"))
     }.reduce(_ union _).where(col("src") =!= col("dst"))
   }
 

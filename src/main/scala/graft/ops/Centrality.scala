@@ -294,11 +294,20 @@ object Centrality {
     * State is O(Σ ball sizes) rows, shuffles keyed by (source, node) —
     * sampled `sources` keep that linear in the sample size at 100 TB;
     * passing every node is the small-graph exact mode. */
+  /** The n(n−1) normalization silently becomes 0/0 (NaN) or ∞ with a
+    * single source — a plausible degenerate call under the sampled-
+    * source API — so every betweenness entry fails loudly instead. */
+  private def requireSources(nSources: Long): Unit =
+    require(nSources >= 2,
+      s"betweenness needs >= 2 distinct sources (got $nSources): " +
+        "the n(n-1) normalization is degenerate")
+
   def betweenness(spark: SparkSession, edges: DataFrame,
                   sources: DataFrame, maxDepth: Int = 8): DataFrame = {
     val e = prepBetweennessEdges(edges)
     val src = prepBetweennessSources(sources)
     val nSources = src.count()
+    requireSources(nSources)
     val sh = sigmaForwardShells(e, src, maxDepth)
     brandesBackward(spark, e, sh, nSources)
   }
@@ -382,8 +391,11 @@ object Centrality {
         // next is checkpointed, so the running union is a flat plan of
         // materialized shells — re-checkpointing it would cost a job
         // per round for nothing (it is only ever scanned, its lineage
-        // is already truncated at every leaf)
+        // is already truncated at every leaf). At DEEP caps the flat
+        // union still accumulates O(d) leaves per round (O(d²) total
+        // Catalyst work), so a periodic re-checkpoint bounds it.
         all = all.union(next)
+        if (d % 32 == 0) all = all.localCheckpoint()
         allRows += n
         shells += next
         counts += n
@@ -449,7 +461,10 @@ object Centrality {
       // every leaf of deltaNext's plan is a checkpointed shell, so the
       // per-level chain stays shallow at the depths the faces run —
       // the per-level eager checkpoint cost a materialization job per
-      // round for nothing. A periodic re-checkpoint stays as the
+      // round for nothing (measured: re-checkpointing every other
+      // level was ~1 s SLOWER at depth 4 despite halving the plan
+      // size; AQE stage reuse already de-duplicates the repeated
+      // subtrees at runtime). A periodic re-checkpoint stays as the
       // backstop for deep caps (the API permits maxDepth up to 255,
       // where nested-round Catalyst cost would otherwise resurface).
       if ((dMax - lvl) % 8 == 0) deltaNext = deltaNext.localCheckpoint()
@@ -489,6 +504,7 @@ object Centrality {
     val e = prepBetweennessEdges(edges)
     val src = prepBetweennessSources(sources)
     val nSources = src.count()
+    requireSources(nSources)
     val sh = sigmaForwardShells(e, src, maxDepth)
     pairDependencyFrom(sh.all, nSources, sh.totalRows)
   }
@@ -502,6 +518,7 @@ object Centrality {
     val e = prepBetweennessEdges(edges)
     val src = prepBetweennessSources(sources)
     val nSources = src.count()
+    requireSources(nSources)
     val sh = sigmaForwardShells(e, src, maxDepth)
     val bc = brandesBackward(spark, e, sh, nSources)
     val pd = pairDependencyFrom(sh.all, nSources, sh.totalRows)

@@ -134,10 +134,13 @@ object Webgraph {
       else {
         // next is checkpointed, so the running union of shells stays a
         // flat plan over materialized leaves — re-checkpointing it per
-        // round costs a job and buys no lineage truncation
+        // round costs a job and buys no lineage truncation; at DEEP
+        // caps the O(d) leaves per round still cost O(d²) Catalyst
+        // work, so a periodic re-checkpoint bounds it
         visited = visited
           .union(next.select(col("source"), col("node"),
             lit(d.toLong).as("dist")))
+        if (d % 32 == 0) visited = visited.localCheckpoint()
         visRows += n
         frontier = next
       }
