@@ -78,6 +78,34 @@ class OpsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(a ^ d) < 32)
   }
 
+  test("minhash numeric band minima equal the lexicographic string minima") {
+    // minhashCandidates aggregates each band slice as a base-16-parsed
+    // LONG (HashAggregate-able); fixed-width lowercase hex must order
+    // identically numerically and lexicographically, so the chosen
+    // per-(doc, band) minima — and therefore the emitted pairs — are
+    // pinned equal to the string form here
+    val hashed = docs.limit(120)
+      .select(col("doc_id").as("id"),
+        explode(TextOps.shingles(col("text"), 3)).as("s"))
+      .select(col("id"), md5(col("s").cast("binary")).as("h"))
+    val aggCols = (0 until 4).flatMap { j =>
+      val slice = TextOps.bandSlice(col("h"), j, 4)
+      Seq(min(slice).as(s"s$j"),
+        min(conv(slice, 16, 10).cast("long")).as(s"n$j"))
+    }
+    val both = hashed.groupBy("id").agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      (0 until 4).foreach { j =>
+        val s = r.getAs[String](s"s$j")
+        val n = r.getAs[Long](s"n$j")
+        assert(java.lang.Long.parseLong(s, 16) == n,
+          s"id=${r.get(0)} band=$j: string-min $s vs numeric-min $n")
+      }
+    }
+  }
+
   test("minhash candidates include exact duplicates") {
     import spark.implicits._
     val df = Seq(
