@@ -322,7 +322,12 @@ final class InvertedIndex(spark: SparkSession, dir: String,
     if (hits.isEmpty) return Array.empty
     val hitDS = spark.createDataset(hits.toSeq).toDF("segment", "docId", "score")
     val segs = hits.map(_._1).distinct.toSeq
-    val joined = docs.filter($"segment".isin(segs: _*))
+    // the docId IN-list (≤ tieSlack values) pushes to the parquet scan
+    // so row-group min/max stats skip non-hit doc ranges; the join on
+    // (segment, docId) already restricted the result — the filter only
+    // prunes I/O
+    val ids = hits.map(_._2).distinct.toSeq
+    val joined = docs.filter($"segment".isin(segs: _*) && $"docId".isin(ids: _*))
       .join(broadcast(hitDS), Seq("segment", "docId"))
       .select($"segment", $"docId", $"score", $"repo", $"path")
       .collect()
