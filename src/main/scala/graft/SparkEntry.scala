@@ -642,8 +642,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_ngram_jaccard" -> ((s, d) => {
+      // spread = false: the face's input is 200 docs, but the fanOut
+      // guard sees the UNFILTERED scan-size estimate and would shuffle
+      // them; values are partitioning-independent (integer counts).
       Dedup.ngramJaccard(t(s, d, "documents").where(col("doc_id") < 200),
-          "doc_id", "text", 3, 0.1)
+          "doc_id", "text", 3, 0.1, spread = false)
         .orderBy("id_a", "id_b")
     }),
     "q_fingerprint" -> ((s, d) => {

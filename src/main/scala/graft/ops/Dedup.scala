@@ -170,12 +170,19 @@ object Dedup {
     * `minJaccard` applies to the ROUNDED (4-decimal) similarity — a
     * pair at 0.09996 rounds to the threshold and passes; deliberate:
     * the emitted column and the filter see the same value, and the
-    * DuckDB oracle pins exactly this order. */
+    * DuckDB oracle pins exactly this order.
+    * `spread = false` skips the fanOut pre-shuffle for callers that
+    * KNOW the input is tiny (e.g. a selective filter over a big table:
+    * the optimizer's size estimate is the unfiltered scan size, so the
+    * fanOut bypass guard cannot see the filter and would shuffle a
+    * handful of rows). Partitioning cannot change any emitted value —
+    * every output column is an integer count or an exact integer
+    * division. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.1,
-                   maxShingleDf: Int = 1000): DataFrame = {
-    val shAll = TextOps.fanOut(
-        df.select(col(idCol).as("id"), col(textCol).as("t")))
+                   maxShingleDf: Int = 1000, spread: Boolean = true): DataFrame = {
+    val src = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val shAll = (if (spread) TextOps.fanOut(src) else src)
       .select(col("id"),
         explode(array_distinct(TextOps.shingles(col("t"), shingleN))).as("sh"))
     // hot-shingle prune: the df > cap set is small by construction

@@ -341,6 +341,23 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.length < 40 * 39 / 2)
   }
 
+  test("ngramJaccard spread=false emits the same pairs and scores as spread=true") {
+    import spark.implicits._
+    val df = (
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+          (2L, "alpha beta gamma delta epsilon eta"),
+          (3L, "one two three four five six seven")) ++
+      (4L to 30L).map(i => (i, s"shared prefix words here tail$i end$i"))
+    ).toDF("id", "text")
+    def rows(spread: Boolean) =
+      Dedup.ngramJaccard(df, "id", "text", 3, 0.05, spread = spread)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val wide = rows(spread = true)
+    assert(wide.nonEmpty)
+    assert(rows(spread = false) == wide)
+  }
+
   test("kahan sum: exact where a plain double fold loses addends") {
     import spark.implicits._
     // 1e16 followed by 500 units then -1e16: each unit rounds away
